@@ -1,0 +1,8 @@
+from .schedules import (  # noqa: F401
+    DiffusionSchedule,
+    linear_schedule,
+    cosine_schedule,
+    vpsde_schedule,
+    compute_t_star,
+)
+from . import rng  # noqa: F401

@@ -1,0 +1,144 @@
+"""Checkpoint IO: Orbax for native checkpoints + PyTorch-state-dict converters.
+
+The reference ships torch checkpoints in three formats (SURVEY.md §5.4):
+DiffWave ``{model_state_dict, optimizer_state_dict}`` pickles
+(``DiffWave_Unconditional/train.py:131-136``), improved-diffusion per-part
+``.pt`` files, and classifier full-model/state-dict pickles. The converters
+here fold ``nn.utils.weight_norm`` reparameterizations (``WaveNet.py:28,67,72``)
+into plain kernels — ``w = g · v / ‖v‖₂(per out-channel)`` — and transpose to
+the channels-last Flax layouts.
+
+torch is only required at conversion time (CPU wheel in this image); the
+converted artifacts are plain pytrees saved with Orbax.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+import jax
+import numpy as np
+
+
+# ---------------------------------------------------------------- low level
+
+
+def _np(t):
+    try:  # torch tensor
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def fold_weight_norm(v: np.ndarray, g: np.ndarray) -> np.ndarray:
+    """w = g * v / ||v|| with the norm over all dims except dim 0
+    (torch ``weight_norm(..., dim=0)`` default)."""
+    v = np.asarray(v, dtype=np.float64)
+    g = np.asarray(g, dtype=np.float64)
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v**2).sum(axis=axes, keepdims=True))
+    return (g.reshape(norm.shape) * v / norm).astype(np.float32)
+
+
+def _conv_weight(sd: Mapping, prefix: str) -> np.ndarray:
+    """Resolve a conv weight that may be weight-normed (old or new torch API)."""
+    if f"{prefix}.weight_v" in sd:
+        return fold_weight_norm(_np(sd[f"{prefix}.weight_v"]), _np(sd[f"{prefix}.weight_g"]))
+    if f"{prefix}.parametrizations.weight.original1" in sd:
+        return fold_weight_norm(
+            _np(sd[f"{prefix}.parametrizations.weight.original1"]),
+            _np(sd[f"{prefix}.parametrizations.weight.original0"]),
+        )
+    return _np(sd[f"{prefix}.weight"]).astype(np.float32)
+
+
+def _conv1d(sd: Mapping, prefix: str) -> dict:
+    """torch Conv1d (out,in,k) → flax {'kernel': (k,in,out), 'bias': (out,)}."""
+    w = _conv_weight(sd, prefix)
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 1, 0)))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"]).astype(np.float32)
+    return out
+
+
+def _conv2d(sd: Mapping, prefix: str) -> dict:
+    """torch Conv2d (out,in,kh,kw) → flax {'kernel': (kh,kw,in,out), ...}."""
+    w = _conv_weight(sd, prefix)
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"]).astype(np.float32)
+    return out
+
+
+def _dense(sd: Mapping, prefix: str) -> dict:
+    out = {"kernel": np.ascontiguousarray(_np(sd[f"{prefix}.weight"]).astype(np.float32).T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"]).astype(np.float32)
+    return out
+
+
+def _batchnorm(sd: Mapping, prefix: str):
+    """Returns (params, batch_stats) halves of a torch BatchNorm."""
+    params = {
+        "scale": _np(sd[f"{prefix}.weight"]).astype(np.float32),
+        "bias": _np(sd[f"{prefix}.bias"]).astype(np.float32),
+    }
+    stats = {
+        "mean": _np(sd[f"{prefix}.running_mean"]).astype(np.float32),
+        "var": _np(sd[f"{prefix}.running_var"]).astype(np.float32),
+    }
+    return params, stats
+
+
+# ------------------------------------------------------------ net converters
+
+
+def convert_diffwave_state_dict(sd: Mapping, num_res_layers: int = 36) -> dict:
+    """Reference WaveNet state dict → Flax ``WaveNet`` params
+    (``use_weight_norm=False`` layout). Key layout per
+    ``DiffWave_Unconditional/WaveNet.py`` module tree."""
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v for k, v in sd.items()}
+    p = {
+        "init_conv": {"Conv_0": _conv1d(sd, "init_conv.0.conv")},
+        "fc_t1": _dense(sd, "residual_layer.fc_t1"),
+        "fc_t2": _dense(sd, "residual_layer.fc_t2"),
+        "final_conv1": {"Conv_0": _conv1d(sd, "final_conv.0.conv")},
+        "final_conv2": {"Conv_0": _conv1d(sd, "final_conv.2.conv")},
+    }
+    for n in range(num_res_layers):
+        b = f"residual_layer.residual_blocks.{n}"
+        p[f"res_block_{n}"] = {
+            "Dense_0": _dense(sd, f"{b}.fc_t"),
+            "dilated_conv": {"Conv_0": _conv1d(sd, f"{b}.dilated_conv_layer.conv")},
+            "res_conv": {"Conv_0": _conv1d(sd, f"{b}.res_conv")},
+            "skip_conv": {"Conv_0": _conv1d(sd, f"{b}.skip_conv")},
+        }
+    return jax.tree.map(np.asarray, p)
+
+
+def load_diffwave_checkpoint(path: str, num_res_layers: int = 36) -> dict:
+    """Load a reference ``{iter}.pkl`` and convert (``train.py:131-136`` format)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model_state_dict", ckpt)
+    return {"params": convert_diffwave_state_dict(sd, num_res_layers)}
+
+
+# ------------------------------------------------------------------- orbax
+
+
+def save_pytree(path: str, tree) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, tree)
+
+
+def load_pytree(path: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(os.path.abspath(path))

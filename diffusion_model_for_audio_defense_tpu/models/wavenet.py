@@ -1,0 +1,140 @@
+"""DiffWave WaveNet ε-network (Flax).
+
+TPU-first re-design of the reference net
+(``diffusion_models/DiffWave_Unconditional/WaveNet.py:53-172``):
+
+- channels-last layout ``(B, L, C)`` so the channel dim sits on the TPU lane
+  axis (C=256/512 → two/four 128-lanes) and the dilated convs tile onto the
+  MXU;
+- weight-norm is a *training-time* reparameterization in the reference
+  (``WaveNet.py:28,67,72``); converted checkpoints fold ``g·v/‖v‖`` into plain
+  kernels (see ``core/checkpoint.py``), and training here can enable the same
+  reparameterization via ``use_weight_norm=True``;
+- the public ``__call__`` keeps the reference seam: input ``(audio, t)`` with
+  ``audio (B, 1, L)`` and ``t (B, 1)`` float timesteps, output ε ``(B, 1, L)``.
+
+Production config (reference ``configs/config.json:8-18``): res=256, skip=256,
+36 layers, dilation cycle 12.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+def diffusion_step_embedding(t: jnp.ndarray, dim: int = 128) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, reference ``util.py:68-93`` parity.
+
+    ``t``: (B, 1) float. Returns (B, dim) = [sin(t·10^(4i/63)) ‖ cos(...)]
+    with frequencies exp(-i·ln(10000)/(dim/2-1)).
+    """
+    half = dim // 2
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * (-math.log(10000.0) / (half - 1)))
+    args = t.astype(jnp.float32) * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=1)
+
+
+def swish(x):
+    return x * nn.sigmoid(x)
+
+
+class _WNConv(nn.Module):
+    """1-D conv, optionally weight-normalized (training parity)."""
+
+    features: int
+    kernel_size: int = 3
+    dilation: int = 1
+    use_weight_norm: bool = False
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.dilation * (self.kernel_size - 1) // 2
+        init = nn.initializers.zeros_init() if self.zero_init else nn.initializers.kaiming_normal()
+        conv = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size,),
+            kernel_dilation=(self.dilation,),
+            padding=((pad, pad),),
+            kernel_init=init,
+            bias_init=nn.initializers.zeros_init(),
+        )
+        if self.use_weight_norm:
+            conv = nn.WeightNorm(conv, feature_axes=-1)
+        return conv(x)
+
+
+class ResidualBlock(nn.Module):
+    """Gated dilated-conv residual block (reference ``WaveNet.py:53-97``)."""
+
+    res_channels: int
+    skip_channels: int
+    dilation: int
+    use_weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, t_embed):
+        # per-layer FC of the shared 512-d timestep embedding, added per-channel
+        part_t = nn.Dense(self.res_channels)(t_embed)  # (B, C)
+        h = x + part_t[:, None, :]
+        h = _WNConv(2 * self.res_channels, 3, self.dilation, self.use_weight_norm, name="dilated_conv")(h)
+        gate = jnp.tanh(h[..., : self.res_channels]) * nn.sigmoid(h[..., self.res_channels :])
+        res = _WNConv(self.res_channels, 1, use_weight_norm=self.use_weight_norm, name="res_conv")(gate)
+        skip = _WNConv(self.skip_channels, 1, use_weight_norm=self.use_weight_norm, name="skip_conv")(gate)
+        return (x + res) * math.sqrt(0.5), skip
+
+
+class WaveNet(nn.Module):
+    """DiffWave ε-net. Call with ``(audio (B,1,L), t (B,1))`` → ε ``(B,1,L)``."""
+
+    in_channels: int = 1
+    res_channels: int = 256
+    skip_channels: int = 256
+    out_channels: int = 1
+    num_res_layers: int = 36
+    dilation_cycle: int = 12
+    diffusion_step_embed_dim_in: int = 128
+    diffusion_step_embed_dim_mid: int = 512
+    diffusion_step_embed_dim_out: int = 512
+    use_weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, audio: jnp.ndarray, diffusion_steps: jnp.ndarray) -> jnp.ndarray:
+        if diffusion_steps.ndim == 1:
+            diffusion_steps = diffusion_steps[:, None]
+        x = jnp.swapaxes(audio, -1, -2)  # (B, L, C_in): channels-last for TPU
+
+        # shared swish MLP on the sinusoidal embedding (reference WaveNet.py:120-126)
+        emb = diffusion_step_embedding(diffusion_steps, self.diffusion_step_embed_dim_in)
+        emb = swish(nn.Dense(self.diffusion_step_embed_dim_mid, name="fc_t1")(emb))
+        emb = swish(nn.Dense(self.diffusion_step_embed_dim_out, name="fc_t2")(emb))
+
+        h = nn.relu(_WNConv(self.res_channels, 1, use_weight_norm=self.use_weight_norm, name="init_conv")(x))
+
+        skip_sum = 0.0
+        for n in range(self.num_res_layers):
+            h, skip = ResidualBlock(
+                self.res_channels,
+                self.skip_channels,
+                dilation=2 ** (n % self.dilation_cycle),
+                use_weight_norm=self.use_weight_norm,
+                name=f"res_block_{n}",
+            )(h, emb)
+            skip_sum = skip_sum + skip
+        out = skip_sum * math.sqrt(1.0 / self.num_res_layers)
+
+        out = nn.relu(_WNConv(self.skip_channels, 1, use_weight_norm=self.use_weight_norm, name="final_conv1")(out))
+        out = _WNConv(self.out_channels, 1, use_weight_norm=self.use_weight_norm, zero_init=True, name="final_conv2")(out)
+        return jnp.swapaxes(out, -1, -2)  # back to (B, C_out, L)
+
+
+def wavenet_from_config(wavenet_config: dict, **overrides) -> WaveNet:
+    """Build from the reference JSON ``wavenet_config`` dict (config.json:8-18)."""
+    cfg = dict(wavenet_config)
+    cfg.update(overrides)
+    return WaveNet(**cfg)

@@ -1,0 +1,136 @@
+"""VP-SDE (DiffPure-style) purification — waveform domain.
+
+Rebuild of ``diffusion_models/diffwave_sde.py`` without torchsde: the solver
+there is plain Euler–Maruyama on a fixed grid (``sdeint_adjoint(...,
+method='euler', dt=1/N)``, reference ``:199-203``), so the TPU-native
+equivalent is a ~20-line ``jax.lax.scan`` with per-step Gaussian increments.
+Gradients flow through the scan (with remat on the step body), replacing the
+adjoint method the reference needs only to bound memory.
+
+Math parity (reference ``RevVPSDE``, ``diffwave_sde.py:34-133``):
+- reversed time τ = 1 - t; at physical time s: β(s) = β₀ + (s·N-1)/(N-1)·(β₁-β₀)
+- score(x, s) = -ε_θ(x, d)/√(1-ᾱ_d) with discrete step d = ⌊s·N⌋
+- drift(τ) = -[ -½β·x - β·score ]; diffusion(τ) = √β · √((1-ᾱ_{d-1})/(1-ᾱ_d))
+- Euler grid: τ ∈ [1 - t*/N, 1 - 1e-5], step 1/N (+ one fractional final step)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.schedules import DiffusionSchedule, vpsde_schedule
+from .ddpm import EpsFn, q_jump
+
+
+def _sde_grid(t_star: int, N: int, epsilon_dt1: float = 1e-5):
+    """Euler time grid in reversed time τ, matching torchsde's fixed-dt grid."""
+    t0 = 1.0 - t_star / N
+    t1 = 1.0 - epsilon_dt1
+    dt = 1.0 / N
+    grid = np.arange(t0, t1, dt)
+    grid = np.concatenate([grid, [t1]])
+    taus = grid[:-1]
+    hs = np.diff(grid)
+    return taus, hs
+
+
+def vpsde_reverse(
+    eps_fn: EpsFn,
+    schedule: DiffusionSchedule,
+    x_t: jnp.ndarray,
+    t_star: int,
+    rng,
+    beta_min: float | None = None,
+    beta_max: float | None = None,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Integrate the reverse VP-SDE from noise level ``t_star`` back to 0."""
+    N = schedule.T
+    beta_0 = beta_min if beta_min is not None else float(schedule.beta[0]) * N
+    beta_1 = beta_max if beta_max is not None else float(schedule.beta[-1]) * N
+    taus, hs = _sde_grid(t_star, N)
+    keys = jax.random.split(rng, len(taus))
+    bsz = x_t.shape[0]
+
+    one_minus_abar = 1.0 - schedule.alpha_bar  # (T,)
+
+    def body(x, inp):
+        tau, h, key = inp
+        s = 1.0 - tau  # physical diffusion time in (0, 1]
+        beta_s = beta_0 + (s * N - 1.0) / (N - 1.0) * (beta_1 - beta_0)
+        # reference _scale_timesteps truncates s·N, whose exact-math value is an
+        # integer on this grid — round() realizes that robustly in floating point
+        d = jnp.clip(jnp.round(s * N).astype(jnp.int32), 0, N - 1)
+        eps = eps_fn(x, jnp.full((bsz,), 1.0, dtype=jnp.float32) * d.astype(jnp.float32))
+        score = -eps / jnp.sqrt(one_minus_abar[d])
+        # forward drift is -½β·x; reverse drift (in reversed time) is its negation plus the score term
+        drift = -(-0.5 * beta_s * x - beta_s * score)
+        scale = jnp.where(d > 0, jnp.sqrt(one_minus_abar[jnp.maximum(d - 1, 0)] / one_minus_abar[d]), 0.0)
+        g = scale * jnp.sqrt(beta_s)
+        z = jax.random.normal(key, x.shape, dtype=x.dtype)
+        x = x + drift * h + g * jnp.sqrt(h) * z
+        return x, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x0, _ = jax.lax.scan(body, x_t, (jnp.asarray(taus, jnp.float32), jnp.asarray(hs, jnp.float32), keys))
+    return x0
+
+
+def vpsde_purify(
+    eps_fn: EpsFn,
+    schedule: DiffusionSchedule,
+    x0: jnp.ndarray,
+    t_star: int,
+    rng,
+    sample_step: int = 1,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Diffuse to t* then solve the reverse SDE; ``sample_step`` outer
+    iterations are concatenated on the batch axis like the reference
+    ``audio_editing_sample`` (``diffwave_sde.py:182-211``)."""
+    outs = []
+    for key in jax.random.split(rng, sample_step):
+        k1, k2 = jax.random.split(key)
+        x_t = q_jump(schedule, x0, t_star, k1)
+        x0 = vpsde_reverse(eps_fn, schedule, x_t, t_star, k2, remat=remat)
+        outs.append(x0)
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+class RevDiffWavePurifier:
+    """OO wrapper mirroring the reference ``RevDiffWave`` defender."""
+
+    def __init__(
+        self,
+        apply_fn,
+        params,
+        schedule: DiffusionSchedule | None = None,
+        t: int = 5,
+        sample_step: int = 1,
+        rand_t: bool = False,
+        t_delta: int = 15,
+        remat: bool = True,
+    ):
+        self.apply_fn = apply_fn
+        self.params = params
+        self.schedule = schedule if schedule is not None else vpsde_schedule(200, 0.02, 4.0)
+        self.t = t
+        self.sample_step = sample_step
+        self.rand_t = rand_t
+        self.t_delta = t_delta
+        self.remat = remat
+
+    @property
+    def eps_fn(self) -> EpsFn:
+        return lambda x, t: self.apply_fn(self.params, x, t[:, None])
+
+    def __call__(self, x, rng):
+        t_star = self.t
+        if self.rand_t:  # host-side jitter, like the reference's np.random.randint
+            t_star = self.t + int(np.random.randint(-self.t_delta, self.t_delta))
+        return vpsde_purify(self.eps_fn, self.schedule, x, t_star, rng, sample_step=self.sample_step, remat=self.remat)

@@ -1,0 +1,148 @@
+"""WaveNet ε-net parity: Flax model vs a torch golden fixture that
+reproduces the reference architecture (DiffWave_Unconditional/WaveNet.py)
+including weight_norm, exercising the checkpoint converter end-to-end."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+
+from diffusion_model_for_audio_defense_tpu.core.checkpoint import (
+    convert_diffwave_state_dict,
+    fold_weight_norm,
+)
+from diffusion_model_for_audio_defense_tpu.models import WaveNet
+
+RES, SKIP, LAYERS, CYCLE = 8, 8, 4, 2
+EMB_IN, EMB_MID, EMB_OUT = 8, 16, 16
+
+
+class _WNC(tnn.Module):
+    """weight-normed conv wrapper producing reference-style '.conv' keys."""
+
+    def __init__(self, cin, cout, k, d=1, wn=True):
+        super().__init__()
+        conv = tnn.Conv1d(cin, cout, k, dilation=d, padding=d * (k - 1) // 2)
+        self.conv = tnn.utils.weight_norm(conv) if wn else conv
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class _Block(tnn.Module):
+    def __init__(self, d):
+        super().__init__()
+        self.fc_t = tnn.Linear(EMB_OUT, RES)
+        self.dilated_conv_layer = _WNC(RES, 2 * RES, 3, d)
+        self.res_conv = tnn.utils.weight_norm(tnn.Conv1d(RES, RES, 1))
+        self.skip_conv = tnn.utils.weight_norm(tnn.Conv1d(RES, SKIP, 1))
+
+    def forward(self, x, emb):
+        h = x + self.fc_t(emb)[:, :, None]
+        h = self.dilated_conv_layer(h)
+        gate = torch.tanh(h[:, :RES]) * torch.sigmoid(h[:, RES:])
+        return (x + self.res_conv(gate)) * math.sqrt(0.5), self.skip_conv(gate)
+
+
+class _ResGroup(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.fc_t1 = tnn.Linear(EMB_IN, EMB_MID)
+        self.fc_t2 = tnn.Linear(EMB_MID, EMB_OUT)
+        self.residual_blocks = tnn.ModuleList([_Block(2 ** (n % CYCLE)) for n in range(LAYERS)])
+
+    def forward(self, x, t):
+        half = EMB_IN // 2
+        freqs = torch.exp(torch.arange(half) * (-math.log(10000.0) / (half - 1)))
+        args = t * freqs[None]
+        emb = torch.cat([torch.sin(args), torch.cos(args)], dim=1)
+        sw = lambda v: v * torch.sigmoid(v)
+        emb = sw(self.fc_t2(sw(self.fc_t1(emb))))
+        skip = 0
+        for blk in self.residual_blocks:
+            x, s = blk(x, emb)
+            skip = skip + s
+        return skip * math.sqrt(1.0 / LAYERS)
+
+
+class TorchGoldenWaveNet(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.init_conv = tnn.Sequential(_WNC(1, RES, 1), tnn.ReLU())
+        self.residual_layer = _ResGroup()
+        zc = _WNC(SKIP, 1, 1, wn=False)
+        zc.conv.weight.data.zero_()
+        zc.conv.bias.data.zero_()
+        self.final_conv = tnn.Sequential(_WNC(SKIP, SKIP, 1), tnn.ReLU(), zc)
+
+    def forward(self, audio, t):
+        x = self.init_conv(audio)
+        x = self.residual_layer(x, t)
+        return self.final_conv(x)
+
+
+def _make_pair(seed=0):
+    torch.manual_seed(seed)
+    tm = TorchGoldenWaveNet().eval()
+    # the golden final conv is zero-init like the reference; randomize it so
+    # the comparison actually exercises the output head
+    tm.final_conv[2].conv.weight.data.normal_()
+    tm.final_conv[2].conv.bias.data.normal_()
+    params = convert_diffwave_state_dict(tm.state_dict(), num_res_layers=LAYERS)
+    fm = WaveNet(
+        res_channels=RES,
+        skip_channels=SKIP,
+        num_res_layers=LAYERS,
+        dilation_cycle=CYCLE,
+        diffusion_step_embed_dim_in=EMB_IN,
+        diffusion_step_embed_dim_mid=EMB_MID,
+        diffusion_step_embed_dim_out=EMB_OUT,
+    )
+    return tm, fm, {"params": params}
+
+
+def test_wavenet_matches_torch_golden(rng_np):
+    tm, fm, variables = _make_pair()
+    x = rng_np.standard_normal((2, 1, 64)).astype(np.float32)
+    t = np.array([[3.0], [17.0]], dtype=np.float32)
+    with torch.no_grad():
+        golden = tm(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    ours = np.asarray(fm.apply(variables, jnp.asarray(x), jnp.asarray(t)))
+    assert ours.shape == golden.shape == (2, 1, 64)
+    np.testing.assert_allclose(ours, golden, atol=2e-5, rtol=1e-4)
+
+
+def test_wavenet_fractional_timesteps(rng_np):
+    # the VP-SDE path conditions on float timesteps — must not be rounded
+    tm, fm, variables = _make_pair(1)
+    x = rng_np.standard_normal((1, 1, 32)).astype(np.float32)
+    t = np.array([[4.5]], dtype=np.float32)
+    with torch.no_grad():
+        golden = tm(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+    ours = np.asarray(fm.apply(variables, jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_allclose(ours, golden, atol=2e-5, rtol=1e-4)
+
+
+def test_fold_weight_norm_matches_torch():
+    torch.manual_seed(0)
+    conv = tnn.Conv1d(4, 6, 3)
+    ref = conv.weight.detach().clone()
+    wn = tnn.utils.weight_norm(conv)
+    with torch.no_grad():
+        wn.weight_g.mul_(1.7)  # make g non-trivial
+    folded = fold_weight_norm(wn.weight_v.detach().numpy(), wn.weight_g.detach().numpy())
+    # torch recomputes weight = g * v/||v|| on forward; trigger it
+    out_w = torch._weight_norm(wn.weight_v, wn.weight_g, 0).detach().numpy()
+    np.testing.assert_allclose(folded, out_w, atol=1e-6)
+    del ref
+
+
+def test_wavenet_grad_flows(rng_np):
+    _, fm, variables = _make_pair(2)
+    x = jnp.asarray(rng_np.standard_normal((1, 1, 32)).astype(np.float32))
+    t = jnp.ones((1, 1), dtype=jnp.float32)
+    g = jax.grad(lambda v: jnp.sum(fm.apply(variables, v, t) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
