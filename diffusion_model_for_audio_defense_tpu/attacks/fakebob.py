@@ -1,0 +1,149 @@
+"""FAKEBOB black-box attack (IEEE S&P'21).
+
+Rebuild of ``robustness_eval/black_box_attack.py:13-219``: NES gradient
+estimate with momentum, per-sample plateau LR decay, early stop on loss
+convergence. The reference shrinks the batch by deleting solved examples
+(``delete_found``, ``:135-178``) — dynamic shapes that would force
+recompiles on TPU; here an *active mask* keeps shapes static and frozen
+samples simply stop being updated (same iterate sequence for live samples).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .losses import margin_loss, resolve_loss
+from .nes import nes_grad
+
+
+class FAKEBOB:
+    def __init__(
+        self,
+        model_fn,
+        task: str = "SCR",
+        targeted: bool = False,
+        confidence: float = 0.5,
+        epsilon: float = 0.002,
+        max_iter: int = 200,
+        max_lr: float = 0.001,
+        min_lr: float = 1e-6,
+        samples_per_draw: int = 50,
+        samples_per_draw_batch_size: int = 50,
+        sigma: float = 0.001,
+        momentum: float = 0.9,
+        plateau_length: int = 5,
+        plateau_drop: float = 2.0,
+        stop_early: bool = True,
+        stop_early_iter: int = 100,
+        batch_size: int = 1,
+        verbose: int = 1,
+    ):
+        self.model_fn = model_fn
+        self.task = task
+        self.targeted = targeted
+        self.confidence = confidence
+        self.epsilon = epsilon
+        self.max_iter = max_iter
+        self.max_lr = max_lr
+        self.min_lr = min_lr
+        self.samples_per_draw = samples_per_draw
+        self.sigma = sigma
+        self.momentum = momentum
+        self.plateau_length = plateau_length
+        self.plateau_drop = plateau_drop
+        self.stop_early = stop_early
+        self.stop_early_iter = stop_early_iter
+        self.batch_size = batch_size
+        self.verbose = verbose
+
+    def generate(self, x, y, targeted: bool = False, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.targeted = targeted
+        loss_fn, self.grad_sign = resolve_loss("Margin", targeted, self.confidence, self.task, clip_max=False)
+        estimator = nes_grad(self.model_fn, loss_fn, self.samples_per_draw, self.sigma)
+
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        assert float(x.max()) < 1.0 and float(x.min()) >= -1.0, "inputs must be in [-1, 1) float domain"
+        lower = jnp.clip(x - self.epsilon, min=-1.0)
+        upper = jnp.clip(x + self.epsilon, max=1.0)
+
+        outs, succs = [], []
+        bs = min(self.batch_size, x.shape[0])
+        for b0 in range(0, x.shape[0], bs):
+            rng, kb = jax.random.split(rng)
+            adv, suc = self._attack_batch(
+                x[b0 : b0 + bs], y[b0 : b0 + bs], lower[b0 : b0 + bs], upper[b0 : b0 + bs], estimator, kb, b0 // bs
+            )
+            outs.append(adv)
+            succs += suc
+        return jnp.concatenate(outs, axis=0), succs
+
+    def _attack_batch(self, x, y, lower, upper, estimator, rng, batch_id):
+        bsz = x.shape[0]
+        y_np = np.asarray(y)
+        adver_x = x
+        grad = jnp.zeros_like(x)
+        best_adver_x = np.asarray(x).copy()
+        best_loss = np.full(bsz, np.inf)
+        success = [False] * bsz
+        active = np.ones(bsz, dtype=bool)
+        last_ls = [[] for _ in range(bsz)]
+        lr = np.full(bsz, self.max_lr)
+        prev_loss = np.full(bsz, np.inf)
+
+        for it in range(self.max_iter + 1):
+            rng, k = jax.random.split(rng)
+            prev_grad = grad
+            mean_loss, grad, adver_loss, _, y_pred = estimator(adver_x, y, k)
+            adver_loss_np = np.asarray(adver_loss)
+            mean_loss_np = np.asarray(mean_loss)
+
+            for ii in range(bsz):
+                if not active[ii]:
+                    continue
+                hit = (y_pred[ii] != y_np[ii]) if not self.targeted else (y_pred[ii] == y_np[ii])
+                if hit:
+                    success[ii] = True
+                if adver_loss_np[ii] < best_loss[ii]:
+                    best_loss[ii] = adver_loss_np[ii]
+                    best_adver_x[ii] = np.asarray(adver_x[ii])
+                if adver_loss_np[ii] < 0:  # margin loss < 0 ⇔ solved; freeze
+                    active[ii] = False
+
+            if self.verbose:
+                print(
+                    f"batch: {batch_id} iter: {it}, loss: {adver_loss_np}, y: {y_np}, "
+                    f"y_pred: {y_pred}, best loss: {best_loss}"
+                )
+            if not active.any():
+                break
+
+            if it < self.max_iter:
+                grad = self.momentum * prev_grad + (1.0 - self.momentum) * grad
+                for jj in range(bsz):
+                    if not active[jj]:
+                        continue
+                    last_ls[jj].append(mean_loss_np[jj])
+                    last_ls[jj] = last_ls[jj][-self.plateau_length :]
+                    if len(last_ls[jj]) == self.plateau_length and last_ls[jj][-1] > last_ls[jj][0]:
+                        if lr[jj] > self.min_lr:
+                            lr[jj] = max(lr[jj] / self.plateau_drop, self.min_lr)
+                        last_ls[jj] = []
+
+                lr_t = jnp.asarray(lr, dtype=x.dtype)[:, None, None]
+                act = jnp.asarray(active.astype(np.float32))[:, None, None]
+                step = self.grad_sign * lr_t * jnp.sign(grad) * act
+                adver_x = jnp.clip(adver_x + step, lower, upper)
+
+                if self.stop_early and it % self.stop_early_iter == 0:
+                    converged = prev_loss * 0.9999 - mean_loss_np
+                    for jj in np.nonzero(converged < 0)[0]:
+                        active[jj] = False
+                    if not active.any():
+                        break
+                    prev_loss = mean_loss_np.copy()
+
+        return jnp.asarray(best_adver_x), success

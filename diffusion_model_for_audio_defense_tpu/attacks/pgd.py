@@ -1,0 +1,293 @@
+"""White-box attack: CW/PGD stage-1 + Qin psychoacoustic stage-2.
+
+Rebuild of ``robustness_eval/white_box_attack.py`` (``AudioAttack``):
+- stage 1: iterative signed-gradient ascent on CE with per-sample shrinking
+  ε-ball (×decrease_factor every num_iter_decrease_eps iters on success),
+  linf clamp / l2 projection, re-clamp to [-1,1] (reference ``:362-468``)
+- stage 2: hinge loss of the perturbation's approximate PSD against the
+  precomputed psychoacoustic masking threshold, with per-sample adaptive α
+  (reference ``:470-604``)
+- EOT for prediction (``eot_defense_size``) and gradient (``eot_attack_size``)
+
+Structure: the heavy compute (forward+grad through the purifier, PSD loss
+grad) is jitted once; the per-sample bookkeeping (ε shrink, best-adv
+tracking, α adaptation) runs on host in numpy exactly like the reference's
+python loops — it is O(batch) scalar work between device steps.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .eot import EOT
+from .losses import cross_entropy
+from ..ops.stft import stft as _stft
+
+
+def project_to_norm_ball(x: jnp.ndarray, p: str, eps) -> jnp.ndarray:
+    """Per-sample projection onto the ε-ball (reference ``:11-22``).
+
+    ``eps`` may be scalar or (B,) for per-sample radii.
+    """
+    eps = jnp.asarray(eps, dtype=x.dtype)
+    if eps.ndim == 1:
+        eps = eps[:, None, None]
+    if p == "linf":
+        return jnp.clip(x, -eps, eps)
+    if p == "l2":
+        norm = jnp.sqrt(jnp.sum(x**2, axis=(1, 2), keepdims=True))
+        factor = jnp.minimum(1.0, eps / jnp.maximum(norm, 1e-12))
+        return x * factor
+    raise NotImplementedError(f"Unsupported norm: {p}!")
+
+
+def lp_norm(x: jnp.ndarray, p: str):
+    if p == "linf":
+        return jnp.max(jnp.abs(x))
+    if p == "l2":
+        return jnp.sqrt(jnp.sum(x**2, axis=tuple(range(1, x.ndim))))
+    raise NotImplementedError(f"Unsupported norm: {p}!")
+
+
+class AudioAttack:
+    """CW/PGD (+ optional Qin imperceptibility stage).
+
+    ``model_fn(x, rng) -> scores`` is the defended AcousticSystem. All rng is
+    explicit; pass a fresh key to ``generate``.
+    """
+
+    def __init__(
+        self,
+        model_fn,
+        masker: Optional["object"] = None,
+        eps: float = 2000.0,
+        norm: str = "linf",
+        learning_rate_1: float = 100.0,
+        max_iter_1: int = 1000,
+        alpha: float = 0.05,
+        learning_rate_2: float = 1.0,
+        max_iter_2: int = 4000,
+        loss_theta_min: float = 0.05,
+        decrease_factor_eps: float = 0.8,
+        num_iter_decrease_eps: int = 10,
+        increase_factor_alpha: float = 1.2,
+        num_iter_increase_alpha: int = 20,
+        decrease_factor_alpha: float = 0.8,
+        num_iter_decrease_alpha: int = 50,
+        eot_attack_size: int = 1,
+        eot_defense_size: int = 1,
+        input_is_int16_scale: bool = False,
+        verbose: int = 1,
+    ):
+        self.model_fn = model_fn
+        self.masker = masker
+        self.eps = eps
+        self.norm = norm
+        self.learning_rate_1 = learning_rate_1
+        self.max_iter_1 = max_iter_1
+        self.alpha = alpha
+        self.learning_rate_2 = learning_rate_2
+        self.max_iter_2 = max_iter_2
+        self.loss_theta_min = loss_theta_min
+        self.decrease_factor_eps = decrease_factor_eps
+        self.num_iter_decrease_eps = num_iter_decrease_eps
+        self.increase_factor_alpha = increase_factor_alpha
+        self.num_iter_increase_alpha = num_iter_increase_alpha
+        self.decrease_factor_alpha = decrease_factor_alpha
+        self.num_iter_decrease_alpha = num_iter_decrease_alpha
+        self.eot_attack_size = eot_attack_size
+        self.eot_defense_size = eot_defense_size
+        # reference scales ε by 2^-15 when inputs are float32 (:368-373)
+        self.scale_factor = 1.0 if input_is_int16_scale else 2.0**-15
+        self.verbose = verbose
+        self._targeted = False
+
+        self._eot = EOT(model_fn, cross_entropy, eot_size=max(eot_attack_size, eot_defense_size))
+        self._plain_scores = jax.jit(model_fn)
+
+        def loss_and_grad(x, y, rng):
+            def f(xx):
+                return jnp.sum(cross_entropy(self.model_fn(xx, rng), y))
+
+            return jax.grad(f)(x)
+
+        self._plain_grad = jax.jit(loss_and_grad)
+
+    # ------------------------------------------------------------- stage 1
+
+    def generate(self, x, y, targeted: bool = True, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._targeted = targeted
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        k1, k2 = jax.random.split(rng)
+        x_adv, success_1 = self.stage_1(x, y, k1)
+        if self.max_iter_2 > 0:
+            x_adv, success_2 = self.stage_2(x, x_adv, y, k2)
+            return x_adv, (success_1, success_2)
+        return x_adv, (success_1, None)
+
+    def _predict(self, x_pert, y, rng):
+        if self.eot_defense_size > 1:
+            scores, _, _, _ = self._eot(x_pert, y, rng, eot_size=self.eot_defense_size, use_grad=False)
+        else:
+            scores = self._plain_scores(x_pert, rng)
+        return np.asarray(jnp.argmax(scores, axis=-1))
+
+    def _grad(self, x_pert, y, rng):
+        if self.eot_attack_size > 1:
+            _, _, grad, _ = self._eot(x_pert, y, rng, eot_size=self.eot_attack_size, use_grad=True)
+        else:
+            grad = self._plain_grad(x_pert, y, rng)
+        return grad
+
+    def stage_1(self, x, y, rng):
+        eps0 = self.scale_factor * self.eps
+        lr = self.scale_factor * self.learning_rate_1
+        bsz = x.shape[0]
+        y_np = np.asarray(y)
+
+        delta = jnp.zeros_like(x)
+        epsilon = np.full(bsz, eps0, dtype=np.float64)
+        x_adv = [None] * bsz
+
+        for i in range(self.max_iter_1 + 1):
+            rng, k_pred, k_grad = jax.random.split(rng, 3)
+            x_pert = x + delta
+            pred = self._predict(x_pert, y, k_pred)
+            hit = (pred == y_np) if self._targeted else (pred != y_np)
+
+            x_pert_np = None
+            for j in np.nonzero(hit)[0]:
+                if x_pert_np is None:
+                    x_pert_np = np.asarray(x_pert)
+                x_adv[j] = x_pert_np[j]
+
+            # shrink ε for currently-successful samples (reference :409-424)
+            if i % self.num_iter_decrease_eps == 0 and i > 0 and hit.any():
+                delta_np = np.asarray(delta)
+                for j in np.nonzero(hit)[0]:
+                    if self.norm == "linf":
+                        pert_norm = float(np.abs(delta_np[j]).max())
+                    else:
+                        pert_norm = float(np.linalg.norm(delta_np[j]))
+                    if epsilon[j] > pert_norm:
+                        epsilon[j] = pert_norm
+                    epsilon[j] *= self.decrease_factor_eps
+
+            if i == self.max_iter_1:
+                break
+
+            grad = self._grad(x_pert, y, k_grad)
+            step = lr * jnp.sign(grad)
+            delta = delta - step if self._targeted else delta + step
+            delta = project_to_norm_ball(delta, self.norm, jnp.asarray(epsilon, dtype=x.dtype))
+            delta = jnp.clip(x + delta, -1.0, 1.0) - x
+
+        x_pert_np = np.asarray(x + delta)
+        success = [True] * bsz
+        for j in range(bsz):
+            if x_adv[j] is None:
+                if self.verbose:
+                    print(f"Adversarial attack stage 1 for x_{j} was not successful")
+                x_adv[j] = x_pert_np[j]
+                success[j] = False
+        return jnp.asarray(np.stack(x_adv, axis=0)), success
+
+    # ------------------------------------------------------------- stage 2
+
+    def _psd_loss(self, perturbation, masking_threshold_stab, psd_max_stab):
+        """Hinge loss of the perturbation PSD vs masking threshold
+        (reference ``:606-678``; the 10·log terms are canceled out)."""
+        win = self.masker.window_size
+        hop = self.masker.hop_size
+        p = perturbation[:, 0, :]  # (B, L)
+        s = _stft(p, n_fft=win, hop_length=hop, center=False)  # (B, F, T)
+        gain = np.sqrt(8.0 / 3.0)
+        psd = (gain / win) ** 2 * (s.real**2 + s.imag**2)
+        psd_approx = (10.0**9.6) / psd_max_stab[:, None, None] * psd
+        return jnp.mean(jnp.maximum(psd_approx - masking_threshold_stab, 0.0), axis=(1, 2))
+
+    def stage_2(self, x, x_adv, y, rng):
+        lr = self.scale_factor * self.learning_rate_2
+        bsz = x.shape[0]
+        y_np = np.asarray(y)
+        alpha_min = 0.0005
+        alpha = np.full(bsz, self.alpha, dtype=np.float64)
+
+        # masking threshold / PSD max from the *clean* input, host-side numpy
+        thresholds, psd_maxima = [], []
+        x_np = np.asarray(x)
+        for xi in x_np[:, 0, :]:
+            th, pm = self.masker.calculate_threshold_and_psd_maximum(xi)
+            thresholds.append(th)
+            psd_maxima.append(pm)
+        mt_stab = jnp.asarray(10.0 ** (np.asarray(thresholds) * 0.1), dtype=x.dtype)
+        pm_stab = jnp.asarray(10.0 ** (np.asarray(psd_maxima) * 0.1), dtype=x.dtype)
+
+        def theta_loss_grad(delta):
+            loss = self._psd_loss(delta, mt_stab, pm_stab)
+            return loss.sum(), loss
+
+        theta_loss_grad = jax.jit(jax.grad(theta_loss_grad, has_aux=True))
+
+        delta = x_adv - x
+        early_stop = np.zeros(bsz, dtype=bool)
+        loss_theta_prev = np.full(bsz, np.inf)
+        loss_theta = np.full(bsz, np.inf)
+        x_imp = [None] * bsz
+
+        for i in range(self.max_iter_2 + 1):
+            rng, k_pred, k_grad = jax.random.split(rng, 3)
+            x_pert = x + delta
+            pred = self._predict(x_pert, y, k_pred)
+            hit = (pred == y_np) if self._targeted else (pred != y_np)
+
+            x_pert_np = None
+            for j in np.nonzero(hit & (loss_theta < loss_theta_prev))[0]:
+                if x_pert_np is None:
+                    x_pert_np = np.asarray(x_pert)
+                x_imp[j] = x_pert_np[j]
+                loss_theta_prev[j] = loss_theta[j]
+
+            if (i % self.num_iter_increase_alpha == 0 or i % self.num_iter_decrease_alpha == 0) and i > 0:
+                for j in range(bsz):
+                    if i % self.num_iter_increase_alpha == 0 and hit[j]:
+                        alpha[j] *= self.increase_factor_alpha
+                    if i % self.num_iter_decrease_alpha == 0 and not hit[j]:
+                        alpha[j] = max(alpha[j] * self.decrease_factor_alpha, alpha_min)
+
+            if i == self.max_iter_2:
+                break
+
+            grad_net = self._grad(x_pert, y, k_grad)
+            grad_theta, lt = theta_loss_grad(delta)
+            loss_theta = np.asarray(lt)
+            a = jnp.asarray(alpha, dtype=x.dtype)[:, None, None]
+            combined = grad_net + a * grad_theta
+            delta = delta - lr * combined if self._targeted else delta + lr * combined
+            delta = jnp.clip(x + delta, -1.0, 1.0) - x
+
+            for j in range(bsz):
+                if loss_theta[j] < self.loss_theta_min and not early_stop[j]:
+                    if self.verbose:
+                        print(f"Batch sample {j} reached minimum threshold of {self.loss_theta_min} for theta loss.")
+                    early_stop[j] = True
+            if early_stop.all():
+                if self.verbose:
+                    print(f"All batch samples reached minimum threshold for theta loss. Stopping early at iteration {i}")
+                break
+
+        x_pert_np = np.asarray(x + delta)
+        success = [True] * bsz
+        for j in range(bsz):
+            if x_imp[j] is None:
+                if self.verbose:
+                    print(f"Adversarial attack stage 2 for x_{j} was not successful")
+                x_imp[j] = x_pert_np[j]
+                success[j] = False
+        return jnp.asarray(np.stack(x_imp, axis=0)), success

@@ -1,0 +1,211 @@
+"""Attack-layer tests on a tiny differentiable toy system."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from diffusion_model_for_audio_defense_tpu.attacks import (
+    EOT,
+    AudioAttack,
+    FAKEBOB,
+    Kenansville,
+    PsychoacousticMasker,
+    SirenAttack,
+    bpda,
+    cross_entropy,
+    lp_norm,
+    margin_loss,
+    nes_grad,
+    project_to_norm_ball,
+    resolve_prediction,
+)
+
+L = 128
+NCLS = 4
+
+
+def toy_model(x, rng=None):
+    """Linear 4-class head on fixed random projections of the waveform."""
+    w = jax.random.normal(jax.random.PRNGKey(42), (L, NCLS)) * 0.5
+    return x[:, 0, :] @ w
+
+
+def noisy_model(x, rng):
+    z = jax.random.normal(rng, x.shape) * 0.01
+    return toy_model(x + z)
+
+
+def test_cross_entropy_matches_torch(rng_np):
+    s = rng_np.standard_normal((5, NCLS)).astype(np.float32)
+    y = rng_np.integers(0, NCLS, 5)
+    ours = np.asarray(cross_entropy(jnp.asarray(s), jnp.asarray(y)))
+    theirs = torch.nn.functional.cross_entropy(torch.from_numpy(s), torch.from_numpy(y), reduction="none").numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_margin_loss_sign_semantics():
+    s = jnp.asarray([[5.0, 0.0, 0.0, 0.0], [0.0, 5.0, 0.0, 0.0]])
+    y = jnp.asarray([0, 0])
+    l = margin_loss(s, y, targeted=False, clip_max=False)
+    assert float(l[0]) > 0  # correctly classified → positive margin
+    assert float(l[1]) < 0  # already misclassified → negative (= success)
+
+
+def test_projection_ops(rng_np):
+    x = jnp.asarray(rng_np.standard_normal((3, 1, 16)).astype(np.float32)) * 10
+    xi = project_to_norm_ball(x, "linf", 0.5)
+    assert float(jnp.abs(xi).max()) <= 0.5 + 1e-6
+    x2 = project_to_norm_ball(x, "l2", 1.0)
+    assert float(jnp.sqrt(jnp.sum(x2**2, axis=(1, 2))).max()) <= 1.0 + 1e-5
+    # per-sample radii
+    xp = project_to_norm_ball(x, "linf", jnp.asarray([0.1, 0.2, 0.3]))
+    maxes = np.asarray(jnp.abs(xp).max(axis=(1, 2)))
+    assert np.all(maxes <= np.array([0.1, 0.2, 0.3]) + 1e-6)
+    assert float(lp_norm(xi, "linf")) <= 0.5 + 1e-6
+
+
+def test_resolve_prediction_majority():
+    dec = np.array([[0, 1], [0, 2], [1, 2], [0, 2]])  # (draws, audios)
+    np.testing.assert_array_equal(resolve_prediction(dec), [0, 2])
+
+
+def test_eot_averages_and_decisions(rng_np):
+    x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32)) * 0.1
+    y = jnp.asarray([0, 1])
+    eot = EOT(noisy_model, cross_entropy, eot_size=8)
+    scores, loss, grad, decisions = eot(x, y, jax.random.PRNGKey(0))
+    assert scores.shape == (2, NCLS) and loss.shape == (2,)
+    assert grad.shape == x.shape and decisions.shape == (8, 2)
+    # deterministic model → EOT equals plain forward
+    eot_det = EOT(lambda xx, k: toy_model(xx), cross_entropy, eot_size=4)
+    s2, _, _, _ = eot_det(x, y, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(toy_model(x)), atol=1e-5)
+
+
+def test_pgd_attack_flips_labels(rng_np):
+    x = jnp.asarray(rng_np.standard_normal((4, 1, L)).astype(np.float32) * 0.05)
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    atk = AudioAttack(
+        lambda xx, rng: toy_model(xx),
+        eps=2000.0,
+        norm="linf",
+        max_iter_1=30,
+        max_iter_2=0,
+        learning_rate_1=400.0,
+        verbose=0,
+    )
+    x_adv, (succ, _) = atk.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(0))
+    assert all(succ), "untargeted PGD should fool a linear model"
+    pred_adv = np.asarray(jnp.argmax(toy_model(x_adv), axis=-1))
+    assert (pred_adv != y).all()
+    # perturbation stays in the (shrinking) linf ball and valid range
+    assert float(jnp.abs(x_adv - x).max()) <= 2000.0 * 2**-15 + 1e-6
+    assert float(jnp.abs(x_adv).max()) <= 1.0 + 1e-6
+
+
+def test_pgd_with_eot(rng_np):
+    x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32) * 0.05)
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    atk = AudioAttack(
+        noisy_model, eps=2000.0, max_iter_1=20, max_iter_2=0, learning_rate_1=400.0,
+        eot_attack_size=4, eot_defense_size=4, verbose=0,
+    )
+    x_adv, (succ, _) = atk.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(1))
+    assert x_adv.shape == x.shape and all(succ)
+
+
+def test_nes_grad_approximates_true_grad(rng_np):
+    x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32) * 0.1)
+    y = jnp.asarray([0, 1])
+    est = nes_grad(lambda xx, k: toy_model(xx), cross_entropy, samples_per_draw=512, sigma=0.001)
+    _, g_est, _, _, _ = est(x, y, jax.random.PRNGKey(0))
+    g_true = jax.grad(lambda xx: cross_entropy(toy_model(xx), y).sum())(x)
+    cos = np.sum(np.asarray(g_est) * np.asarray(g_true)) / (
+        np.linalg.norm(np.asarray(g_est)) * np.linalg.norm(np.asarray(g_true))
+    )
+    assert cos > 0.7, f"NES grad poorly aligned: cos={cos}"
+
+
+def test_fakebob_attacks_toy(rng_np):
+    x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32) * 0.02)
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    atk = FAKEBOB(
+        lambda xx, k: toy_model(xx), task="SCR", epsilon=0.01, max_iter=30,
+        max_lr=2e-3, samples_per_draw=64, samples_per_draw_batch_size=64,
+        batch_size=2, verbose=0,
+    )
+    x_adv, succ = atk.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(0))
+    assert x_adv.shape == x.shape
+    assert float(jnp.abs(x_adv - x).max()) <= 0.01 + 1e-6
+    assert all(succ)
+
+
+def test_siren_attacks_toy(rng_np):
+    x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32) * 0.02)
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    atk = SirenAttack(
+        lambda xx, k: toy_model(xx), task="SCR", epsilon=0.02, max_epoch=3,
+        max_iter=15, n_particles=16, batch_size=2, verbose=0,
+    )
+    x_adv, succ = atk.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(0))
+    assert x_adv.shape == x.shape
+    assert sum(succ) >= 1  # PSO on a linear toy should crack at least one
+
+
+def test_kenansville_fft(rng_np):
+    x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32) * 0.1)
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    atk = Kenansville(lambda xx, k: toy_model(xx), atk_name="fft", max_iter=10, batch_size=2, verbose=0)
+    x_adv, succ = atk.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(0))
+    assert x_adv.shape == x.shape
+    assert isinstance(succ, list) and len(succ) == 2
+
+
+def test_kenansville_ssa(rng_np):
+    x = jnp.asarray((rng_np.standard_normal((1, 1, 400)) * 0.1).astype(np.float32))
+    y = np.asarray(jnp.argmax(toy_model(jnp.zeros((1, 1, L))), axis=-1))  # arbitrary label
+
+    def model400(xx, k):
+        w = jax.random.normal(jax.random.PRNGKey(7), (400, NCLS)) * 0.5
+        return xx[:, 0, :] @ w
+
+    yy = np.asarray(jnp.argmax(model400(x, None), axis=-1))
+    atk = Kenansville(model400, atk_name="ssa", max_iter=5, raster_width=100, verbose=0)
+    x_adv, succ = atk.generate(x, jnp.asarray(yy), targeted=False, rng=jax.random.PRNGKey(0))
+    assert x_adv.shape == x.shape
+
+
+def test_ssa_reconstruction_identity(rng_np):
+    from diffusion_model_for_audio_defense_tpu.ops.ssa import inv_ssa, ssa
+
+    y = np.sin(np.linspace(0, 20, 300)) + 0.1 * rng_np.standard_normal(300)
+    pc, s, v = ssa(y, 20)
+    rec = inv_ssa(pc, v, np.arange(20))  # all components → exact reconstruction
+    np.testing.assert_allclose(rec, y, atol=1e-8)
+    rec_k = inv_ssa(pc, v, np.arange(2))  # top-2 captures the sinusoid
+    assert np.corrcoef(rec_k, y)[0, 1] > 0.9
+
+
+def test_bpda_straight_through():
+    quantize = lambda x: jnp.round(x * 4) / 4  # non-diff (zero grad a.e.)
+    qt = bpda(quantize, lambda x: x)
+    x = jnp.asarray([0.3, 0.6])
+    np.testing.assert_allclose(np.asarray(qt(x)), np.asarray(quantize(x)))
+    g = jax.grad(lambda v: jnp.sum(qt(v) ** 2))(x)
+    # straight-through: d/dx (q(x)^2) ≈ 2·q(x)
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(quantize(x)), atol=1e-6)
+
+
+def test_masker_threshold_shape_and_sanity():
+    t = np.linspace(0, 1, 16000)
+    audio = (0.3 * np.sin(2 * np.pi * 440 * t) + 0.05 * np.sin(2 * np.pi * 3000 * t)).astype(np.float32)
+    masker = PsychoacousticMasker()
+    th, psd_max = masker.calculate_threshold_and_psd_maximum(audio)
+    n_frames = 1 + (16000 - 2048) // 512
+    assert th.shape == (1025, n_frames)
+    assert np.isfinite(th).all()
+    psd, pmax = masker.power_spectral_density(audio)
+    assert psd.max() <= 96.0 + 1e-6 and pmax == float(pmax)
+    # the 440 Hz tone bin should be a masker: threshold near it well above ATH minimum
+    assert th.mean() > -100
