@@ -1,0 +1,10 @@
+from .wav_io import read_wav, write_wav  # noqa: F401
+from .sc_dataset import (  # noqa: F401
+    CLASSES,
+    SC09_CLASSES,
+    SpeechCommandsDataset,
+    SC09Dataset,
+    BackgroundNoiseDataset,
+)
+from .qualcomm_kws_dataset import QUALCOMM_CLASSES, QualcommKeywordSpottingDataset  # noqa: F401
+from .loader import DataLoader  # noqa: F401

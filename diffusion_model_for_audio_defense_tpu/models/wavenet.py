@@ -23,6 +23,7 @@ import math
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,6 +52,7 @@ class _WNConv(nn.Module):
     dilation: int = 1
     use_weight_norm: bool = False
     zero_init: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -63,6 +65,7 @@ class _WNConv(nn.Module):
             padding=((pad, pad),),
             kernel_init=init,
             bias_init=nn.initializers.zeros_init(),
+            dtype=self.dtype,
         )
         if self.use_weight_norm:
             conv = nn.WeightNorm(conv, feature_axes=-1)
@@ -76,16 +79,17 @@ class ResidualBlock(nn.Module):
     skip_channels: int
     dilation: int
     use_weight_norm: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, t_embed):
         # per-layer FC of the shared 512-d timestep embedding, added per-channel
-        part_t = nn.Dense(self.res_channels)(t_embed)  # (B, C)
+        part_t = nn.Dense(self.res_channels, dtype=self.dtype)(t_embed)  # (B, C)
         h = x + part_t[:, None, :]
-        h = _WNConv(2 * self.res_channels, 3, self.dilation, self.use_weight_norm, name="dilated_conv")(h)
+        h = _WNConv(2 * self.res_channels, 3, self.dilation, self.use_weight_norm, dtype=self.dtype, name="dilated_conv")(h)
         gate = jnp.tanh(h[..., : self.res_channels]) * nn.sigmoid(h[..., self.res_channels :])
-        res = _WNConv(self.res_channels, 1, use_weight_norm=self.use_weight_norm, name="res_conv")(gate)
-        skip = _WNConv(self.skip_channels, 1, use_weight_norm=self.use_weight_norm, name="skip_conv")(gate)
+        res = _WNConv(self.res_channels, 1, use_weight_norm=self.use_weight_norm, dtype=self.dtype, name="res_conv")(gate)
+        skip = _WNConv(self.skip_channels, 1, use_weight_norm=self.use_weight_norm, dtype=self.dtype, name="skip_conv")(gate)
         return (x + res) * math.sqrt(0.5), skip
 
 
@@ -102,6 +106,7 @@ class WaveNet(nn.Module):
     diffusion_step_embed_dim_mid: int = 512
     diffusion_step_embed_dim_out: int = 512
     use_weight_norm: bool = False
+    dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
     def __call__(self, audio: jnp.ndarray, diffusion_steps: jnp.ndarray) -> jnp.ndarray:
@@ -111,26 +116,33 @@ class WaveNet(nn.Module):
 
         # shared swish MLP on the sinusoidal embedding (reference WaveNet.py:120-126)
         emb = diffusion_step_embedding(diffusion_steps, self.diffusion_step_embed_dim_in)
-        emb = swish(nn.Dense(self.diffusion_step_embed_dim_mid, name="fc_t1")(emb))
-        emb = swish(nn.Dense(self.diffusion_step_embed_dim_out, name="fc_t2")(emb))
+        emb = swish(nn.Dense(self.diffusion_step_embed_dim_mid, dtype=self.dtype, name="fc_t1")(emb))
+        emb = swish(nn.Dense(self.diffusion_step_embed_dim_out, dtype=self.dtype, name="fc_t2")(emb))
 
-        h = nn.relu(_WNConv(self.res_channels, 1, use_weight_norm=self.use_weight_norm, name="init_conv")(x))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        h = nn.relu(_WNConv(self.res_channels, 1, use_weight_norm=self.use_weight_norm, dtype=self.dtype, name="init_conv")(x))
 
-        skip_sum = 0.0
+        skip_sum = jnp.zeros(h.shape[:-1] + (self.skip_channels,), dtype=h.dtype)
         for n in range(self.num_res_layers):
             h, skip = ResidualBlock(
                 self.res_channels,
                 self.skip_channels,
                 dilation=2 ** (n % self.dilation_cycle),
                 use_weight_norm=self.use_weight_norm,
+                dtype=self.dtype,
                 name=f"res_block_{n}",
             )(h, emb)
             skip_sum = skip_sum + skip
+            # force block-by-block scheduling: without this XLA's latency-hiding
+            # scheduler keeps every block's (B, L, C_skip) output alive at once
+            # (36 × 0.5 GB at batch 32 → OOM); the barrier caps live buffers
+            h, skip_sum = jax.lax.optimization_barrier((h, skip_sum))
         out = skip_sum * math.sqrt(1.0 / self.num_res_layers)
 
-        out = nn.relu(_WNConv(self.skip_channels, 1, use_weight_norm=self.use_weight_norm, name="final_conv1")(out))
-        out = _WNConv(self.out_channels, 1, use_weight_norm=self.use_weight_norm, zero_init=True, name="final_conv2")(out)
-        return jnp.swapaxes(out, -1, -2)  # back to (B, C_out, L)
+        out = nn.relu(_WNConv(self.skip_channels, 1, use_weight_norm=self.use_weight_norm, dtype=self.dtype, name="final_conv1")(out))
+        out = _WNConv(self.out_channels, 1, use_weight_norm=self.use_weight_norm, zero_init=True, dtype=self.dtype, name="final_conv2")(out)
+        return jnp.swapaxes(out, -1, -2).astype(jnp.float32)  # back to (B, C_out, L)
 
 
 def wavenet_from_config(wavenet_config: dict, **overrides) -> WaveNet:

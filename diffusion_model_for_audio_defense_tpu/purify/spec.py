@@ -1,0 +1,137 @@
+"""Spectrogram-domain diffusion purifiers (Improved-Diffusion).
+
+Rebuild of ``diffusion_models/improved_diffusion_ddpm.py`` and
+``improved_diffusion_sde.py``: purify the 1×32×32 log-mel spectrogram with
+the UNet ε-net — DDPM q-sample + ancestral reverse, or the DiffPure VP-SDE
+(N=1000, β∈[0.1,20]) solved by an Euler–Maruyama ``lax.scan``.
+
+Mel standardization to [-1,1] uses the SC09 corpus bounds
+(``sc09_spectrogram_dataset.py:61-81``: upper 38.22 dB, lower -100 dB).
+
+Intentional fixes vs the reference (documented deviations):
+- ``ImprovedDiffusion._reverse`` discards the ``p_sample_loop`` result and
+  returns None (``improved_diffusion_ddpm.py:53-59``) — here the reverse
+  result is returned and the loop starts *from* the diffused x_t rather than
+  fresh noise;
+- the reference's DDPM variant forgets to standardize the input before
+  q-sampling — here both directions are symmetric.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .diffusion_math import GaussianDiffusion
+
+MEL_UPPER_BOUND = 38.22
+MEL_LOWER_BOUND = -100.0
+
+
+def melspec_standardize(x):
+    """Scale log-mel dB values into [-1, 1]."""
+    return 2.0 * (x - MEL_LOWER_BOUND) / (MEL_UPPER_BOUND - MEL_LOWER_BOUND) - 1.0
+
+
+def melspec_inv_standardize(x):
+    return (x + 1.0) * (MEL_UPPER_BOUND - MEL_LOWER_BOUND) / 2.0 + MEL_LOWER_BOUND
+
+
+class ImprovedDiffusionPurifier:
+    """DDPM spec purifier (reference ``ImprovedDiffusion``): standardize →
+    q-sample to t* → ancestral reverse → inv-standardize."""
+
+    def __init__(self, model_fn: Callable, diffusion: GaussianDiffusion, reverse_timestep: int = 25, clip_denoised: bool = True):
+        self.model_fn = model_fn
+        self.diffusion = diffusion
+        self.reverse_timestep = reverse_timestep
+        self.clip_denoised = clip_denoised
+
+    def __call__(self, spec: jnp.ndarray, rng) -> jnp.ndarray:
+        k1, k2 = jax.random.split(rng)
+        x0 = melspec_standardize(spec)
+        bsz = x0.shape[0]
+        t = jnp.full((bsz,), self.reverse_timestep - 1)
+        noise = jax.random.normal(k1, x0.shape, dtype=x0.dtype)
+        x_t = self.diffusion.q_sample(x0, t, noise)
+        out = self.diffusion.p_sample_loop(
+            self.model_fn, rng=k2, x_t=x_t, t_start=self.reverse_timestep, clip_denoised=self.clip_denoised
+        )
+        return melspec_inv_standardize(out)
+
+
+def spec_vpsde_reverse(
+    model_fn: Callable,
+    x_t: jnp.ndarray,
+    t_star: int,
+    rng,
+    N: int = 1000,
+    beta_min: float = 0.1,
+    beta_max: float = 20.0,
+    remat: bool = True,
+) -> jnp.ndarray:
+    """Reverse VP-SDE on standardized spectrograms
+    (reference ``improved_diffusion_sde.py:48-137``):
+    β(s) = β₀ + s(β₁−β₀); score from the *continuous* ᾱ(s)
+    = exp(-½(β₁−β₀)s² − β₀s); g = √β (no discrete scale factor here, unlike
+    the waveform variant)."""
+    t0 = 1.0 - t_star / N
+    t1 = 1.0 - 1e-5
+    dt = 1e-3  # torchsde default when dt not passed (reference :202-204)
+    grid = np.arange(t0, t1, dt)
+    grid = np.concatenate([grid, [t1]])
+    taus, hs = grid[:-1], np.diff(grid)
+    keys = jax.random.split(rng, len(taus))
+    bsz = x_t.shape[0]
+
+    def body(x, inp):
+        tau, h, key = inp
+        s = 1.0 - tau
+        beta_s = beta_min + s * (beta_max - beta_min)
+        d = jnp.clip(jnp.round(s * N), 0, N).astype(jnp.float32)
+        eps = model_fn(x, jnp.full((bsz,), 1.0, dtype=jnp.float32) * d)
+        abar_cont = jnp.exp(-0.5 * (beta_max - beta_min) * s**2 - beta_min * s)
+        score = -eps / jnp.sqrt(1.0 - abar_cont)
+        drift = -(-0.5 * beta_s * x - beta_s * score)
+        g = jnp.sqrt(beta_s)
+        z = jax.random.normal(key, x.shape, dtype=x.dtype)
+        return x + drift * h + g * jnp.sqrt(h) * z, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x0, _ = jax.lax.scan(body, x_t, (jnp.asarray(taus, jnp.float32), jnp.asarray(hs, jnp.float32), keys))
+    return x0
+
+
+class RevImprovedDiffusionPurifier:
+    """VP-SDE spec purifier (reference ``RevImprovedDiffusion``)."""
+
+    def __init__(self, model_fn: Callable, t: int = 25, sample_step: int = 1, rand_t: bool = False,
+                 t_delta: int = 15, N: int = 1000, beta_min: float = 0.1, beta_max: float = 20.0):
+        self.model_fn = model_fn
+        self.t = t
+        self.sample_step = sample_step
+        self.rand_t = rand_t
+        self.t_delta = t_delta
+        self.N, self.beta_min, self.beta_max = N, beta_min, beta_max
+        betas = np.linspace(beta_min / N, beta_max / N, N)
+        acp = np.cumprod(1.0 - betas)
+        self._sqrt_a = jnp.asarray(np.sqrt(acp), jnp.float32)
+        self._sqrt_1ma = jnp.asarray(np.sqrt(1.0 - acp), jnp.float32)
+
+    def __call__(self, spec: jnp.ndarray, rng) -> jnp.ndarray:
+        x0 = melspec_standardize(spec)
+        outs = []
+        t_star = self.t
+        if self.rand_t:
+            t_star = self.t + int(np.random.randint(-self.t_delta, self.t_delta))
+        for key in jax.random.split(rng, self.sample_step):
+            k1, k2 = jax.random.split(key)
+            e = jax.random.normal(k1, x0.shape, dtype=x0.dtype)
+            x_t = x0 * self._sqrt_a[t_star - 1] + e * self._sqrt_1ma[t_star - 1]
+            x0 = spec_vpsde_reverse(self.model_fn, x_t, t_star, k2, self.N, self.beta_min, self.beta_max)
+            outs.append(melspec_inv_standardize(x0))
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]

@@ -1,0 +1,94 @@
+"""Dataset/loader tests over a synthetic wav corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+from diffusion_model_for_audio_defense_tpu.data import (
+    DataLoader,
+    QualcommKeywordSpottingDataset,
+    SC09Dataset,
+    SpeechCommandsDataset,
+    read_wav,
+    write_wav,
+)
+from diffusion_model_for_audio_defense_tpu.transforms import Compose, FixAudioLength, LoadAudio
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sc09")
+    rng = np.random.default_rng(0)
+    for ci, cls in enumerate(["zero", "one", "two"]):
+        d = root / cls
+        d.mkdir()
+        for i in range(5):
+            # distinct lengths to exercise FixAudioLength
+            n = 12000 + 1000 * i
+            write_wav(str(d / f"{cls}_{i}.wav"), rng.standard_normal(n) * 0.05, 16000)
+    return str(root)
+
+
+def test_wav_roundtrip(tmp_path, rng_np):
+    x = (rng_np.standard_normal(16000) * 0.1).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x)
+    y, sr = read_wav(p)
+    assert sr == 16000 and y.shape == (16000,)
+    np.testing.assert_allclose(y, x, atol=1.0 / 32767 + 1e-6)
+
+
+def test_sc09_dataset(corpus):
+    tfm = Compose([LoadAudio(), FixAudioLength()])
+    ds = SC09Dataset(folder=corpus, transform=tfm, num_per_class=3)
+    assert len(ds) == 9  # 3 classes present × 3 per class
+    item = ds[0]
+    assert item["samples"].shape == (16000,)
+    assert item["target"] in (0, 1, 2)
+
+
+def test_dataloader_batching(corpus):
+    tfm = Compose([LoadAudio(), FixAudioLength()])
+    ds = SC09Dataset(folder=corpus, transform=tfm, num_per_class=5)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, seed=1)
+    batches = list(dl)
+    assert sum(b["samples"].shape[0] for b in batches) == len(ds)
+    assert batches[0]["samples"].shape == (4, 16000)
+    assert batches[0]["target"].shape == (4,)
+    # deterministic under the same seed/epoch
+    again = list(DataLoader(ds, batch_size=4, shuffle=True, seed=1))
+    np.testing.assert_array_equal(batches[0]["target"], again[0]["target"])
+
+
+def test_dataloader_process_sharding(corpus):
+    tfm = Compose([LoadAudio(), FixAudioLength()])
+    ds = SC09Dataset(folder=corpus, transform=tfm, num_per_class=5)
+    shard0 = DataLoader(ds, batch_size=100, process_index=0, process_count=3)
+    shard1 = DataLoader(ds, batch_size=100, process_index=1, process_count=3)
+    t0 = next(iter(shard0))["target"]
+    t1 = next(iter(shard1))["target"]
+    assert len(t0) + len(t1) < 2 * len(ds)  # actually sharded
+
+
+def test_balanced_weights(corpus):
+    ds = SpeechCommandsDataset(folder=corpus, classes=["unknown", "silence", "zero", "one", "two"])
+    w = ds.make_weights_for_balanced_classes()
+    assert w.shape == (len(ds),) and (w > 0).all()
+
+
+def test_qualcomm_split(tmp_path):
+    rng = np.random.default_rng(0)
+    for cls in ["hey_android", "hey_snapdragon", "hi_galaxy", "hi_lumina"]:
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(130):
+            write_wav(str(d / f"{i:04d}.wav"), rng.standard_normal(800) * 0.01, 16000)
+    test = QualcommKeywordSpottingDataset(str(tmp_path), split="Test")
+    valid = QualcommKeywordSpottingDataset(str(tmp_path), split="Valid")
+    train = QualcommKeywordSpottingDataset(str(tmp_path), split="Train")
+    assert len(test) == 4 * 25
+    assert len(valid) == 4 * 100
+    assert len(train) == 4 * 5
+    paths = {p for p, _ in test.data} | {p for p, _ in valid.data} | {p for p, _ in train.data}
+    assert len(paths) == 4 * 130  # disjoint cover

@@ -1,0 +1,172 @@
+"""GaussianDiffusion math parity vs a torch/numpy re-derivation + UNet shape
+and spectrogram purifier tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_model_for_audio_defense_tpu.models.unet import UNetModel, create_unet, unet_timestep_embedding
+from diffusion_model_for_audio_defense_tpu.purify.diffusion_math import (
+    GaussianDiffusion,
+    create_gaussian_diffusion,
+    get_named_beta_schedule,
+    normal_kl,
+)
+from diffusion_model_for_audio_defense_tpu.purify.respace import SpacedDiffusion, space_timesteps
+from diffusion_model_for_audio_defense_tpu.purify.spec import (
+    ImprovedDiffusionPurifier,
+    RevImprovedDiffusionPurifier,
+    melspec_inv_standardize,
+    melspec_standardize,
+)
+
+
+def test_linear_schedule_1000_scale():
+    b200 = get_named_beta_schedule("linear", 200)
+    assert abs(b200[0] - 5 * 1e-4) < 1e-12  # scale = 1000/200 = 5
+    assert abs(b200[-1] - 5 * 0.02) < 1e-12
+    b1000 = get_named_beta_schedule("linear", 1000)
+    assert abs(b1000[0] - 1e-4) < 1e-12
+
+
+def test_q_sample_and_posterior_consistency(rng_np):
+    d = GaussianDiffusion(betas=get_named_beta_schedule("linear", 100))
+    x0 = jnp.asarray(rng_np.standard_normal((2, 1, 8, 8)).astype(np.float32))
+    t = jnp.asarray([10, 50])
+    noise = jnp.asarray(rng_np.standard_normal(x0.shape).astype(np.float32))
+    xt = d.q_sample(x0, t, noise)
+    # invert: eps prediction recovers x0
+    eps_to_x0 = d._predict_xstart_from_eps(xt, t, noise)
+    np.testing.assert_allclose(np.asarray(eps_to_x0), np.asarray(x0), atol=1e-4)
+    # posterior mean at t=0... just check shapes/finiteness
+    mean, var, logvar = d.q_posterior_mean_variance(x0, xt, t)
+    assert mean.shape == x0.shape
+    np.testing.assert_allclose(np.asarray(var), np.exp(np.asarray(logvar)), rtol=1e-4)
+
+
+def test_p_mean_variance_learned_range(rng_np):
+    d = GaussianDiffusion(betas=get_named_beta_schedule("linear", 100), model_var_type="learned_range")
+    x = jnp.asarray(rng_np.standard_normal((2, 1, 8, 8)).astype(np.float32))
+    t = jnp.asarray([5, 50])
+
+    def model_fn(xx, tt):
+        return jnp.concatenate([jnp.zeros_like(xx), jnp.zeros_like(xx)], axis=1)  # eps=0, v=0 (midpoint)
+
+    out = d.p_mean_variance(model_fn, x, t)
+    # v=0 → log var is midpoint of [posterior_log_var, log beta]
+    min_log = np.asarray(d.posterior_log_variance_clipped)[np.asarray(t)]
+    max_log = np.log(np.asarray(d.betas))[np.asarray(t)]
+    want = 0.5 * (min_log + max_log)
+    got = np.asarray(out["log_variance"])[:, 0, 0, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_p_sample_loop_runs_and_mse_loss(rng_np):
+    d = GaussianDiffusion(betas=get_named_beta_schedule("linear", 50))
+    model_fn = lambda x, t: 0.1 * jnp.tanh(x)
+    x0 = d.p_sample_loop(model_fn, shape=(2, 1, 8, 8), rng=jax.random.PRNGKey(0))
+    assert x0.shape == (2, 1, 8, 8) and np.isfinite(np.asarray(x0)).all()
+    xd = d.ddim_sample_loop(model_fn, shape=(2, 1, 8, 8), rng=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(xd)).all()
+
+    x_start = jnp.asarray(rng_np.standard_normal((4, 1, 8, 8)).astype(np.float32))
+    t = jnp.asarray([0, 10, 20, 49])
+    terms = d.training_losses(model_fn, x_start, t, jax.random.PRNGKey(2))
+    assert terms["loss"].shape == (4,) and np.isfinite(np.asarray(terms["loss"])).all()
+
+
+def test_training_losses_learned_sigma_has_vb(rng_np):
+    d = create_gaussian_diffusion(steps=50, learn_sigma=True)
+
+    def model_fn(x, t):
+        return jnp.concatenate([0.1 * x, jnp.zeros_like(x)], axis=1)
+
+    x_start = jnp.asarray(rng_np.standard_normal((2, 1, 8, 8)).astype(np.float32))
+    t = jnp.asarray([0, 30])
+    terms = d.training_losses(model_fn, x_start, t, jax.random.PRNGKey(0))
+    assert "vb" in terms and np.isfinite(np.asarray(terms["vb"])).all()
+
+
+def test_space_timesteps_ddim():
+    s = space_timesteps(200, "ddim25")
+    assert len(s) == 25 and 0 in s
+    s2 = space_timesteps(200, [10])
+    assert len(s2) == 10
+
+
+def test_spaced_diffusion_respacing_consistency(rng_np):
+    base = GaussianDiffusion(betas=get_named_beta_schedule("linear", 100))
+    spaced = SpacedDiffusion(use_timesteps=space_timesteps(100, [100]), betas=get_named_beta_schedule("linear", 100))
+    # full respacing == identity
+    np.testing.assert_allclose(np.asarray(spaced.alphas_cumprod), np.asarray(base.alphas_cumprod), rtol=1e-6)
+    sub = SpacedDiffusion(use_timesteps=space_timesteps(100, [10]), betas=get_named_beta_schedule("linear", 100))
+    assert sub.num_timesteps == 10
+    # subsequence alphas_cumprod must equal the base values at kept steps
+    kept = sorted(sub.use_timesteps)
+    np.testing.assert_allclose(
+        np.asarray(sub.alphas_cumprod), np.asarray(base.alphas_cumprod)[kept], rtol=1e-5
+    )
+
+
+def test_normal_kl_zero_for_identical():
+    kl = normal_kl(jnp.zeros(3), jnp.zeros(3), jnp.zeros(3), jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(kl), 0.0, atol=1e-7)
+
+
+def test_unet_shapes_and_grad(rng_np):
+    model = create_unet(image_size=32, num_channels=32, num_res_blocks=1, dropout=0.0)
+    x = jnp.asarray(rng_np.standard_normal((2, 1, 32, 32)).astype(np.float32))
+    t = jnp.asarray([3.0, 7.0])
+    variables = model.init(jax.random.PRNGKey(0), x, t)
+    out = model.apply(variables, x, t)
+    assert out.shape == (2, 1, 32, 32)
+    # zero-init output conv → initial output is exactly zero
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+    g = jax.grad(lambda v: jnp.sum(model.apply(variables, v, t) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_unet_learn_sigma_channels():
+    model = create_unet(image_size=32, num_channels=32, num_res_blocks=1, learn_sigma=True)
+    x = jnp.zeros((1, 1, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+    assert model.apply(variables, x, jnp.zeros((1,))).shape == (1, 2, 32, 32)
+
+
+def test_unet_timestep_embedding_matches_reference_formula():
+    t = jnp.asarray([0.0, 5.0])
+    emb = unet_timestep_embedding(t, 8)
+    half = 4
+    freqs = np.exp(-np.log(10000.0) * np.arange(half) / half)
+    want = np.concatenate([np.cos(5 * freqs), np.sin(5 * freqs)])
+    np.testing.assert_allclose(np.asarray(emb[1]), want, atol=1e-6)
+
+
+def test_melspec_standardize_roundtrip(rng_np):
+    x = jnp.asarray(rng_np.uniform(-100, 38, (2, 1, 32, 32)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(melspec_inv_standardize(melspec_standardize(x))), np.asarray(x), atol=1e-4)
+    assert float(melspec_standardize(jnp.asarray([-100.0]))[0]) == -1.0
+
+
+def test_spec_purifiers_run(rng_np):
+    model = create_unet(image_size=32, num_channels=16, num_res_blocks=1, dropout=0.0)
+    x = jnp.zeros((1, 1, 32, 32))
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)))
+    model_fn = lambda xx, tt: model.apply(variables, xx, tt)
+
+    d = create_gaussian_diffusion(steps=50)
+    spec = jnp.asarray(rng_np.uniform(-90, 30, (2, 1, 32, 32)).astype(np.float32))
+
+    ddpm = ImprovedDiffusionPurifier(d.wrap_model(model_fn), d, reverse_timestep=5)
+    out = ddpm(spec, jax.random.PRNGKey(1))
+    assert out.shape == spec.shape and np.isfinite(np.asarray(out)).all()
+    # clip_denoised keeps the standardized sample in [-1,1] → mel range bounds
+    assert float(out.max()) <= 38.23 and float(out.min()) >= -100.01
+
+    sde = RevImprovedDiffusionPurifier(model_fn, t=5, N=1000)
+    out2 = sde(spec, jax.random.PRNGKey(2))
+    assert out2.shape == spec.shape and np.isfinite(np.asarray(out2)).all()
+
+    # gradient through the spec purifier (spec-domain adaptive attacks)
+    g = jax.grad(lambda s: jnp.sum(sde(s, jax.random.PRNGKey(3)) ** 2))(spec)
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
