@@ -1,0 +1,192 @@
+"""Shared builders for the CLI drivers.
+
+Mirrors the construction logic of ``adaptive_attack_eval.py:60-231`` (and
+the KWS/transfer variants): classifier selection + checkpoint load, the
+Wave2Spect front-end, the 10 defense choices, the 5 attack choices.
+
+Checkpoints: native Orbax directories load directly; torch ``.pth``/``.pkl``
+files are converted on the fly (``core/checkpoint``); a missing path falls
+back to random init with a loud warning so every driver can be exercised
+end-to-end without the reference's artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from ..core import linear_schedule
+from ..core.checkpoint import load_classifier_checkpoint, load_diffwave_checkpoint, load_pytree
+from ..models import create_model
+from ..models.wavenet import WaveNet, wavenet_from_config
+from ..ops import Wave2Spect
+from ..purify import DiffWavePurifier, RevDiffWavePurifier
+from ..system import AcousticSystem
+
+CLASSIFIER_PATHS = {
+    # reference checkpoint directory conventions (adaptive_attack_eval.py:76-98)
+    "resnext29_8_64": "audio_models/ConvNets_SpeechCommands/checkpoints/resnext29_8_64_sgd_plateau_bs64_lr1.0e-02_wd1.0e-02",
+    "vgg19_bn": "audio_models/ConvNets_SpeechCommands/checkpoints/vgg19_bn_sgd_plateau_bs96_lr1.0e-02_wd1.0e-02",
+    "densenet_bc_100_12": "audio_models/ConvNets_SpeechCommands/checkpoints/densenet_bc_100_12_sgd_plateau_bs96_lr1.0e-02_wd1.0e-02",
+    "wideresnet28_10": "audio_models/ConvNets_SpeechCommands/checkpoints/wideresnet28_10_sgd_plateau_bs96_lr1.0e-02_wd1.0e-02",
+    "m5": "audio_models/M5/checkpoints/kernel_size=160",
+}
+
+
+def resolve_classifier_path(args) -> str:
+    if getattr(args, "classifier_path", None):
+        return args.classifier_path
+    base = CLASSIFIER_PATHS[args.classifier_model]
+    fname = {"vanilla": "vanilla-best-acc", "advtr": "advtr-best-acc"}[args.classifier_type]
+    return os.path.join(base, fname + ".pth")
+
+
+def load_variables(path: str, model_name: str):
+    """Orbax dir → restore; .pth/.pkl → torch conversion; else None."""
+    if path and os.path.isdir(path):
+        return load_pytree(path)
+    if path and os.path.isfile(path):
+        return load_classifier_checkpoint(path, model_name)
+    return None
+
+
+def build_classifier(args, num_classes: int = 10):
+    model = create_model(args.classifier_model, num_classes=num_classes, in_channels=1)
+    path = resolve_classifier_path(args)
+    variables = load_variables(path, args.classifier_model)
+    if variables is None:
+        print(f"[warn] classifier checkpoint not found at {path!r}; using random init", file=sys.stderr)
+        init_shape = (1, 1, 16000) if args.classifier_model == "m5" else (1, 1, 32, 32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros(init_shape))
+    apply_fn = lambda x: model.apply(variables, x)
+    return model, variables, apply_fn
+
+
+def load_diffwave_eps_fn(args):
+    """DiffWave ε-net + linear-200 schedule from the reference config/ckpt
+    (``create_diffwave_model``, diffwave_ddpm.py:395-411)."""
+    import json
+
+    cfg_path = getattr(args, "ddpm_config", None)
+    if cfg_path and os.path.isfile(cfg_path):
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        wavenet = wavenet_from_config(cfg["wavenet_config"])
+        dc = cfg["diffusion_config"]
+        schedule = linear_schedule(dc["T"], dc["beta_0"], dc["beta_T"])
+    else:
+        wavenet = WaveNet()
+        schedule = linear_schedule(200)
+
+    path = getattr(args, "ddpm_path", None)
+    if path and os.path.isdir(path):
+        variables = load_pytree(path)
+    elif path and os.path.isfile(path):
+        variables = load_diffwave_checkpoint(path, wavenet.num_res_layers)
+    else:
+        print(f"[warn] DiffWave checkpoint not found at {path!r}; using random init", file=sys.stderr)
+        variables = wavenet.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 16000)), jnp.zeros((1, 1)))
+    eps_fn = lambda x, t: wavenet.apply(variables, x, t[:, None])
+    return wavenet, variables, eps_fn, schedule
+
+
+def build_defender(args, n_mels: int = 32):
+    """The 10 defense choices (adaptive_attack_eval.py:118-179).
+
+    Returns (defender, defense_type, stochastic) — defender is None for
+    --defense None.
+    """
+    name = args.defense
+    if name == "None":
+        return None, "wave", False
+    if name == "Diffusion":
+        _, _, eps_fn, schedule = load_diffwave_eps_fn(args)
+        if getattr(args, "diffusion_type", "sde") == "ddpm":
+            defender = DiffWavePurifier.from_eps_fn(eps_fn, schedule, reverse_timestep=args.t)
+        else:
+            defender = RevDiffWavePurifier.from_eps_fn(
+                eps_fn, schedule, t=args.t, sample_step=args.sample_step,
+                rand_t=args.rand_t, t_delta=args.t_delta,
+            )
+        return defender, "wave", True
+    if name == "Diffusion-Spec":
+        from ..models.unet import create_unet
+        from ..purify.spec import RevImprovedDiffusionPurifier
+
+        unet = create_unet()
+        path = getattr(args, "ddpm_path", None)
+        if path and os.path.isdir(path):
+            variables = load_pytree(path)
+        else:
+            print(f"[warn] UNet checkpoint not found at {path!r}; using random init", file=sys.stderr)
+            variables = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 32, 32)), jnp.zeros((1,)))
+        defender = RevImprovedDiffusionPurifier(
+            lambda x, t: unet.apply(variables, x, t), t=args.t, sample_step=args.sample_step,
+            rand_t=args.rand_t, t_delta=args.t_delta,
+        )
+        return defender, "spec", True
+    if name in ("AS", "MS", "AT"):
+        from ..transforms import TimeDomainDefense
+
+        d = TimeDomainDefense(name)
+        return d, "wave", d.stochastic
+    if name in ("DS", "LPF", "BPF"):
+        from ..transforms import FreqDomainDefense
+
+        return FreqDomainDefense(name), "wave", False
+    if name == "FeCo":
+        from ..transforms import FeCo
+
+        return FeCo(param=0.2), "wave", False
+    raise NotImplementedError(f"Unknown defense: {name}!")
+
+
+def build_system(args, classifier_apply, n_mels: int = 32):
+    defender, defense_type, stochastic = build_defender(args, n_mels)
+    transform = None if args.classifier_model == "m5" else Wave2Spect(n_mels=n_mels)
+    system = AcousticSystem(classifier_apply, transform, defender, defense_type, defender_stochastic=stochastic)
+    return system
+
+
+def build_attacker(args, system):
+    """The 5 attack choices (adaptive_attack_eval.py:181-231)."""
+    from ..attacks import AudioAttack, FAKEBOB, Kenansville, PsychoacousticMasker, SirenAttack
+
+    model_fn = lambda x, rng: system(x, rng, defend=True)
+    if args.attack == "CW":
+        return AudioAttack(
+            model_fn,
+            eps=args.eps,
+            norm=args.bound_norm,
+            max_iter_1=args.max_iter_1,
+            max_iter_2=0,
+            learning_rate_1=args.eps / 5 if args.bound_norm == "linf" else args.eps / 50,
+            eot_attack_size=args.eot_attack_size,
+            eot_defense_size=args.eot_defense_size,
+            verbose=args.verbose,
+        )
+    if args.attack == "Qin-I":
+        return AudioAttack(
+            model_fn,
+            masker=PsychoacousticMasker(),
+            eps=args.eps,
+            norm=args.bound_norm,
+            max_iter_1=args.max_iter_1,
+            max_iter_2=args.max_iter_2,
+            learning_rate_1=args.eps / 5,
+            verbose=args.verbose,
+        )
+    if args.attack == "Kenansville":
+        return Kenansville(model_fn, atk_name="ssa", max_iter=30, raster_width=100,
+                           verbose=args.verbose, batch_size=args.batch_size)
+    if args.attack == "FAKEBOB":
+        return FAKEBOB(model_fn, task="SCR", targeted=False, verbose=args.verbose,
+                       confidence=0.5, epsilon=0.002, max_lr=5e-4, min_lr=1e-4, max_iter=200,
+                       samples_per_draw=200, samples_per_draw_batch_size=200, batch_size=args.batch_size)
+    if args.attack == "SirenAttack":
+        return SirenAttack(model_fn, task="SCR", targeted=False, verbose=args.verbose,
+                           batch_size=args.batch_size, epsilon=0.002, max_epoch=300, max_iter=30, n_particles=25)
+    raise AttributeError(f"this version does not support '{args.attack}' at present")

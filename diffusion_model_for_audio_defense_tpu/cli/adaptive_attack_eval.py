@@ -1,0 +1,161 @@
+"""Adaptive white/black-box attack evaluation on SC09.
+
+Flag-compatible rebuild of the reference driver ``adaptive_attack_eval.py``:
+builds classifier + Wave2Spect + defense + attack, runs the clean / purified
+/ adversarial evaluation loop and prints clean/denoised/robust accuracy.
+
+Usage:
+  python -m diffusion_model_for_audio_defense_tpu.cli.adaptive_attack_eval \
+      --defense Diffusion --attack CW --eot_attack_size 1 ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    # SC09 classifier arguments (reference :19-24)
+    parser.add_argument("--data_path", default="datasets/speech_commands/test")
+    parser.add_argument("--classifier_model", type=str,
+                        choices=["resnext29_8_64", "vgg19_bn", "densenet_bc_100_12", "wideresnet28_10", "m5"],
+                        default="resnext29_8_64")
+    parser.add_argument("--classifier_type", type=str, choices=["advtr", "vanilla"], default="vanilla")
+    parser.add_argument("--classifier_input", choices=["mel32"], default="mel32")
+    parser.add_argument("--classifier_path", type=str, default=None,
+                        help="explicit checkpoint path (orbax dir or torch .pth)")
+    parser.add_argument("--num_per_class", type=int, default=10)
+    # DiffWave-VPSDE arguments (reference :26-36)
+    parser.add_argument("--ddpm_config", type=str, default="configs/config.json")
+    parser.add_argument("--ddpm_path", type=str, default=None)
+    parser.add_argument("--sample_step", type=int, default=1)
+    parser.add_argument("--t", type=int, default=1)
+    parser.add_argument("--t_delta", type=int, default=15)
+    parser.add_argument("--rand_t", action="store_true", default=False)
+    parser.add_argument("--diffusion_type", type=str, default="ddpm", help="[ddpm, sde]")
+    parser.add_argument("--score_type", type=str, default="guided_diffusion")
+    parser.add_argument("--use_bm", action="store_true", default=False)
+    # attack arguments (reference :38-47)
+    parser.add_argument("--attack", type=str, choices=["CW", "Qin-I", "Kenansville", "FAKEBOB", "SirenAttack"], default="CW")
+    parser.add_argument("--defense", type=str,
+                        choices=["Diffusion", "Diffusion-Spec", "AS", "MS", "DS", "LPF", "BPF", "FeCo", "None"],
+                        default="None")
+    parser.add_argument("--bound_norm", type=str, choices=["linf", "l2"], default="linf")
+    parser.add_argument("--eps", type=int, default=65)
+    parser.add_argument("--max_iter_1", type=int, default=10)
+    parser.add_argument("--max_iter_2", type=int, default=0)
+    parser.add_argument("--eot_attack_size", type=int, default=1)
+    parser.add_argument("--eot_defense_size", type=int, default=1)
+    parser.add_argument("--verbose", type=int, default=1)
+    # device / batching (reference :49-52)
+    parser.add_argument("--dataload_workers_nums", type=int, default=8)
+    parser.add_argument("--batch_size", type=int, default=20)
+    parser.add_argument("--gpu", type=int, default=0)
+    # file saving (reference :54-55)
+    parser.add_argument("--save_path", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--max_batches", type=int, default=None, help="limit batches (smoke runs)")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ._common import build_attacker, build_classifier, build_system
+    from .. import utils
+    from ..data import DataLoader, SC09Dataset
+    from ..transforms import Compose, FixAudioLength, LoadAudio
+
+    _, _, classifier_apply = build_classifier(args)
+    system = build_system(args, classifier_apply)
+    attacker = build_attacker(args, system)
+    print(f"classifier model: {args.classifier_model}")
+    print(f"classifier type: {args.classifier_type}")
+    print(f"defense: {args.defense}" + (f" with t={args.t}" if args.defense == "Diffusion" else ""))
+    print(f"attack: {args.attack} with {args.bound_norm}_eps={args.eps} & iter={args.max_iter_1} "
+          f"& eot={args.eot_attack_size}-{args.eot_defense_size}\n")
+
+    transform = Compose([LoadAudio(), FixAudioLength()])
+    dataset = SC09Dataset(folder=args.data_path, transform=transform, num_per_class=args.num_per_class)
+    loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False)
+
+    rng = jax.random.PRNGKey(args.seed)
+    correct_orig = correct_defended = correct_adv = success_adv_2 = total = 0
+
+    clean_fwd = jax.jit(lambda x: system(x, None, defend=False))
+    for bi, batch in enumerate(loader):
+        if args.max_batches is not None and bi >= args.max_batches:
+            break
+        waveforms = jnp.asarray(batch["samples"])[:, None, :]
+        targets = np.asarray(batch["target"])
+        rng, k_def, k_atk, k_adv = jax.random.split(rng, 4)
+
+        pred_clean = np.asarray(jnp.argmax(clean_fwd(waveforms), -1))
+
+        if system.defense_type == "wave":
+            defended = waveforms if system.defender is None else system._run_defender(waveforms, k_def)
+            pred_def = np.asarray(jnp.argmax(clean_fwd(defended), -1))
+        else:
+            spec = system.transform(waveforms)
+            spec_def = spec if system.defender is None else system._run_defender(spec, k_def)
+            pred_def = np.asarray(jnp.argmax(system.classifier(spec_def), -1))
+
+        adv, attack_success = attacker.generate(waveforms, jnp.asarray(targets), targeted=False, rng=k_atk)
+        adv = jnp.asarray(adv, waveforms.dtype)
+        if system.defense_type == "wave":
+            adv_def = adv if system.defender is None else system._run_defender(adv, k_adv)
+        else:
+            adv_def = system.transform(adv)
+            if system.defender is not None:
+                adv_def = system._run_defender(adv_def, k_adv)
+
+        if args.save_path is not None:
+            clean_path, adv_path = os.path.join(args.save_path, "clean"), os.path.join(args.save_path, "adv")
+            for i in range(waveforms.shape[0]):
+                audio_id = str(total + i).zfill(3)
+                if system.defense_type == "wave":
+                    utils.audio_save(waveforms[i], clean_path, f"{audio_id}_{targets[i]}_clean.wav")
+                    utils.audio_save(defended[i], clean_path, f"{audio_id}_{targets[i]}_clean_purified.wav")
+                    utils.audio_save(adv[i], adv_path, f"{audio_id}_{targets[i]}_adv.wav")
+                    utils.audio_save(adv_def[i], adv_path, f"{audio_id}_{targets[i]}_adv_purified.wav")
+                else:
+                    utils.spec_save(spec[i], clean_path, f"{audio_id}_{targets[i]}_clean.png")
+                    utils.spec_save(spec_def[i], clean_path, f"{audio_id}_{targets[i]}_clean_purified.png")
+                    utils.spec_save(system.transform(adv)[i], adv_path, f"{audio_id}_{targets[i]}_adv.png")
+                    utils.spec_save(adv_def[i], adv_path, f"{audio_id}_{targets[i]}_adv_purified.png")
+
+        total += waveforms.shape[0]
+        correct_orig += int((pred_clean == targets).sum())
+        correct_defended += int((pred_def == targets).sum())
+        stage1 = attack_success[0] if isinstance(attack_success, tuple) else attack_success
+        correct_adv += waveforms.shape[0] - int(np.sum(stage1))
+        if isinstance(attack_success, tuple) and attack_success[1] is not None:
+            success_adv_2 += int(np.sum(attack_success[1]))
+
+        print(
+            f"[{total}] clean acc: {100 * correct_orig / total:.4f}%  "
+            f"denoised acc: {100 * correct_defended / total:.4f}%  "
+            f"{args.attack} robust acc: {100 * correct_adv / total:.4f}%"
+        )
+
+    print(f"on {total} test examples:")
+    print(f"original clean test accuracy: {100 * correct_orig / max(total, 1):.4f}%")
+    print(f"denoised clean test accuracy: {100 * correct_defended / max(total, 1):.4f}%")
+    print(f"{args.attack} robust test accuracy: {100 * correct_adv / max(total, 1):.4f}%")
+    if success_adv_2:
+        print(f"Imperceptible attack success rate: {100 * success_adv_2 / total:.4f}%")
+    return {
+        "total": total,
+        "clean_acc": correct_orig / max(total, 1),
+        "denoised_acc": correct_defended / max(total, 1),
+        "robust_acc": correct_adv / max(total, 1),
+    }
+
+
+if __name__ == "__main__":
+    main()

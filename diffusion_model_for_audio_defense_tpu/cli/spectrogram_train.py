@@ -1,0 +1,105 @@
+"""Improved-Diffusion spectrogram training.
+
+Rebuild of ``Improved_Diffusion_Unconditional/spectrogram_train.py`` (and
+``spect_train_mpi_run.sh``): on-the-fly SC09 wave→mel batches, standardized
+to [-1,1], into the TrainLoop. No mpiexec — the single controller drives
+every chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def model_and_diffusion_defaults():
+    """Reference ``script_util.py:11-35``."""
+    return dict(
+        image_size=32, num_channels=128, num_res_blocks=3, num_heads=4, num_heads_upsample=-1,
+        attention_resolutions="16,8", dropout=0.3, learn_sigma=False, sigma_small=False,
+        class_cond=False, diffusion_steps=200, noise_schedule="linear", timestep_respacing="",
+        use_kl=False, predict_xstart=False, rescale_timesteps=False, rescale_learned_sigmas=True,
+        use_checkpoint=False, use_scale_shift_norm=True,
+    )
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    defaults = dict(
+        data_dir="datasets/speech_commands/train", schedule_sampler="uniform", lr=1e-4,
+        weight_decay=0.0, lr_anneal_steps=0, batch_size=230, microbatch=-1, ema_rate="0.9999",
+        log_interval=10, save_interval=10000, resume_checkpoint="", save_dir="checkpoints/spec_diffusion",
+        max_steps=0,
+    )
+    defaults.update(model_and_diffusion_defaults())
+    for k, v in defaults.items():
+        if isinstance(v, bool):
+            p.add_argument(f"--{k}", default=v, type=lambda s: s.lower() in ("1", "true", "yes"))
+        else:
+            p.add_argument(f"--{k}", default=v, type=type(v))
+    return p
+
+
+def load_sc09_spectrogram_data(data_dir, batch_size, n_mels=32, seed=0):
+    """Infinite standardized mel-batch generator
+    (reference ``sc09_spectrogram_dataset.py:83-99``)."""
+    from ..data import DataLoader, SC09Dataset
+    from ..ops import Wave2Spect
+    from ..purify.spec import melspec_standardize
+    from ..transforms import Compose, FixAudioLength, LoadAudio
+
+    ds = SC09Dataset(data_dir, transform=Compose([LoadAudio(), FixAudioLength()]), num_per_class=10**9)
+    loader = DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True, seed=seed)
+    w2s = jax.jit(lambda w: melspec_standardize(Wave2Spect(n_mels=n_mels)(w)))
+    for epoch in itertools.count():
+        loader.set_epoch(epoch)
+        for batch in loader:
+            yield np.asarray(w2s(jnp.asarray(batch["samples"])[:, None, :]))
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ..models.unet import create_unet
+    from ..purify.diffusion_math import create_gaussian_diffusion
+    from ..train import TrainLoop, create_named_schedule_sampler
+    from ..train import logger as tlog
+
+    tlog.configure(format_strs=["stdout", "csv"])
+    model = create_unet(
+        image_size=args.image_size, num_channels=args.num_channels, num_res_blocks=args.num_res_blocks,
+        learn_sigma=args.learn_sigma, attention_resolutions=args.attention_resolutions,
+        dropout=args.dropout, num_heads=args.num_heads, num_heads_upsample=args.num_heads_upsample,
+        use_scale_shift_norm=args.use_scale_shift_norm,
+    )
+    diffusion = create_gaussian_diffusion(
+        steps=args.diffusion_steps, learn_sigma=args.learn_sigma, sigma_small=args.sigma_small,
+        noise_schedule=args.noise_schedule, use_kl=args.use_kl, predict_xstart=args.predict_xstart,
+        rescale_timesteps=args.rescale_timesteps, rescale_learned_sigmas=args.rescale_learned_sigmas,
+        timestep_respacing=args.timestep_respacing,
+    )
+
+    class _Wrapped:
+        def init(self, k, x, t):
+            return model.init(k, x, t)
+
+        def apply(self, p, x, t):
+            return diffusion.wrap_model(lambda xx, tt: model.apply(p, xx, tt, train=False))(x, t)
+
+    data = load_sc09_spectrogram_data(args.data_dir, args.batch_size)
+    loop = TrainLoop(
+        _Wrapped(), diffusion, data, batch_size=args.batch_size, microbatch=args.microbatch,
+        lr=args.lr, ema_rate=args.ema_rate, log_interval=args.log_interval,
+        save_interval=args.save_interval, lr_anneal_steps=args.lr_anneal_steps,
+        weight_decay=args.weight_decay,
+        schedule_sampler=create_named_schedule_sampler(args.schedule_sampler, diffusion.num_timesteps),
+        save_dir=args.save_dir,
+    )
+    loop.run_loop(max_steps=args.max_steps or None)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""DiffWave purifier training.
+
+Rebuild of ``DiffWave_Unconditional/{distributed_train.py,train.py}``: one
+process drives all local chips through a dp(+tp) mesh — there is no
+subprocess spawner or NCCL rendezvous to replicate (SURVEY.md §2.8).
+Config JSON is the reference format (``configs/config.json``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-c", "--config", type=str, default="configs/config.json")
+    p.add_argument("--dataset", type=str, choices=["sc09", "qualcomm"], default="qualcomm")
+    p.add_argument("--max_iters", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis size")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def data_iterator(args, cfg, rng):
+    from ..data import DataLoader, SC09Dataset, SpeechCommandsDataset
+    from ..data.qualcomm_kws_dataset import QualcommKeywordSpottingDataset, random_length_collate
+    from ..transforms import Compose, FixAudioLength, LoadAudio
+
+    tcfg = cfg["trainset_config"]
+    batch_size = cfg["train_config"]["batch_size_per_gpu"] * max(1, len(__import__("jax").devices()))
+    if args.dataset == "sc09":
+        ds = SC09Dataset(tcfg["data_path"], transform=Compose([LoadAudio(), FixAudioLength()]), num_per_class=10**9)
+        loader = DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True, seed=args.seed)
+
+        def gen():
+            for epoch in itertools.count():
+                loader.set_epoch(epoch)
+                for batch in loader:
+                    yield batch["samples"][:, None, :]
+
+    else:
+        ds = QualcommKeywordSpottingDataset(tcfg["data_path"], transform=Compose([LoadAudio()]), split="Train")
+        loader = DataLoader(
+            ds, batch_size=batch_size, shuffle=True, drop_last=True, seed=args.seed,
+            collate_fn=lambda b: random_length_collate(b, rng),
+        )
+
+        def gen():
+            for epoch in itertools.count():
+                loader.set_epoch(epoch)
+                for samples, _ in loader:
+                    yield samples[:, None, :]
+
+    return gen()
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+
+    from ..core import linear_schedule
+    from ..models import wavenet_from_config
+    from ..parallel import device_mesh
+    from ..train import DiffWaveTrainer
+    from ..train import logger as tlog
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+    dcfg, tcfg = cfg["diffusion_config"], cfg["train_config"]
+
+    model = wavenet_from_config(cfg["wavenet_config"])
+    schedule = linear_schedule(dcfg["T"], dcfg["beta_0"], dcfg["beta_T"])
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        dp = n_dev // args.tp
+        mesh = device_mesh(("dp", "tp"), (dp, args.tp))
+
+    tlog.configure(tcfg.get("tensorboard_directory", "logs"), ["stdout", "csv"])
+    trainer = DiffWaveTrainer(
+        model,
+        schedule,
+        learning_rate=tcfg["learning_rate"],
+        output_directory=tcfg["output_directory"],
+        iters_per_ckpt=tcfg["iters_per_ckpt"],
+        iters_per_logging=tcfg["iters_per_logging"],
+        n_iters=tcfg["n_iters"],
+        mesh=mesh,
+        segment_length=cfg["trainset_config"]["segment_length"],
+    )
+    data = data_iterator(args, cfg, np.random.default_rng(args.seed))
+    trainer.train(data, max_iters=args.max_iters)
+
+
+if __name__ == "__main__":
+    main()

@@ -126,6 +126,81 @@ def load_diffwave_checkpoint(path: str, num_res_layers: int = 36) -> dict:
     return {"params": convert_diffwave_state_dict(sd, num_res_layers)}
 
 
+def convert_resnext_state_dict(sd: Mapping) -> dict:
+    """Reference ``CifarResNeXt`` state dict → Flax variables
+    ({'params', 'batch_stats'}), key layout per
+    ``audio_models/ConvNets_SpeechCommands/models/resnext.py``."""
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v for k, v in sd.items()}
+    params, stats = {}, {}
+
+    def put_bn(flax_name, torch_prefix, dst_p, dst_s):
+        p, s = _batchnorm(sd, torch_prefix)
+        dst_p[flax_name] = p
+        dst_s[flax_name] = s
+
+    params["conv_1_3x3"] = {"kernel": _conv2d(sd, "conv_1_3x3")["kernel"]}
+    put_bn("bn_1", "bn_1", params, stats)
+    params["classifier"] = _dense(sd, "classifier")
+
+    for key in sd:
+        if "_bottleneck_" not in key or not key.endswith("conv_reduce.weight"):
+            continue
+        # e.g. stage_1.stage_1_bottleneck_0.conv_reduce.weight
+        prefix = key[: -len(".conv_reduce.weight")]
+        block = prefix.split(".")[-1]  # stage_1_bottleneck_0 (matches our name)
+        bp, bs = {}, {}
+        for conv in ("conv_reduce", "conv_conv", "conv_expand"):
+            bp[conv] = {"kernel": _conv2d(sd, f"{prefix}.{conv}")["kernel"]}
+        for bn in ("bn_reduce", "bn", "bn_expand"):
+            put_bn(bn, f"{prefix}.{bn}", bp, bs)
+        if f"{prefix}.shortcut.shortcut_conv.weight" in sd:
+            bp["shortcut_conv"] = {"kernel": _conv2d(sd, f"{prefix}.shortcut.shortcut_conv")["kernel"]}
+            put_bn("shortcut_bn", f"{prefix}.shortcut.shortcut_bn", bp, bs)
+        params[block] = bp
+        stats[block] = bs
+
+    return {"params": jax.tree.map(np.asarray, params), "batch_stats": jax.tree.map(np.asarray, stats)}
+
+
+def convert_m5_state_dict(sd: Mapping) -> dict:
+    """Reference ``M5`` state dict → Flax variables (conv/bn blocks are
+    positional: Conv_0..3, BatchNorm_0..3, Dense_0)."""
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v for k, v in sd.items()}
+    params, stats = {}, {}
+    for i in range(4):
+        params[f"Conv_{i}"] = _conv1d(sd, f"conv{i + 1}")
+        p, s = _batchnorm(sd, f"bn{i + 1}")
+        params[f"BatchNorm_{i}"] = p
+        stats[f"BatchNorm_{i}"] = s
+    params["Dense_0"] = _dense(sd, "fc1")
+    return {"params": jax.tree.map(np.asarray, params), "batch_stats": jax.tree.map(np.asarray, stats)}
+
+
+def load_classifier_checkpoint(path: str, model_name: str = "resnext29_8_64") -> dict:
+    """Load a torch classifier checkpoint and convert.
+
+    Handles state-dict files and ``{'state_dict': ...}`` wrappers; the
+    reference's full-model pickles (``torch.save(model, ...)``) need the
+    original class module and must be re-exported as state dicts first.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        sd = obj.state_dict()
+    elif isinstance(obj, dict) and "state_dict" in obj:
+        sd = obj["state_dict"]
+    elif isinstance(obj, dict):
+        sd = obj
+    else:
+        raise ValueError(f"unsupported checkpoint object {type(obj)} in {path}")
+    if model_name.startswith("resnext"):
+        return convert_resnext_state_dict(sd)
+    if model_name == "m5":
+        return convert_m5_state_dict(sd)
+    raise NotImplementedError(f"no converter for {model_name} yet; use a native orbax checkpoint")
+
+
 # ------------------------------------------------------------------- orbax
 
 

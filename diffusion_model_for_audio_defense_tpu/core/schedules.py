@@ -29,6 +29,9 @@ class DiffusionSchedule:
     """
 
     T: int = struct.field(pytree_node=False)
+    # static endpoints (python floats): usable inside jit without concretizing
+    beta_start: float = struct.field(pytree_node=False)
+    beta_end: float = struct.field(pytree_node=False)
     beta: jnp.ndarray
     alpha: jnp.ndarray
     alpha_bar: jnp.ndarray
@@ -57,6 +60,8 @@ def _finalize(beta: np.ndarray) -> DiffusionSchedule:
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
     return DiffusionSchedule(
         T=int(len(beta)),
+        beta_start=float(beta[0]),
+        beta_end=float(beta[-1]),
         beta=f32(beta),
         alpha=f32(alpha),
         alpha_bar=f32(alpha_bar),

@@ -155,9 +155,18 @@ class DiffWavePurifier:
         self.schedule = schedule
         self.reverse_timestep = reverse_timestep
         self.remat = remat
+        self._eps_fn = None
+
+    @classmethod
+    def from_eps_fn(cls, eps_fn: EpsFn, schedule: DiffusionSchedule, reverse_timestep: int = 25, **kw):
+        self = cls(None, None, schedule, reverse_timestep, **kw)
+        self._eps_fn = eps_fn
+        return self
 
     @property
     def eps_fn(self) -> EpsFn:
+        if self._eps_fn is not None:
+            return self._eps_fn
         return lambda x, t: self.apply_fn(self.params, x, t[:, None])
 
     def __call__(self, x, rng):

@@ -50,8 +50,8 @@ def vpsde_reverse(
 ) -> jnp.ndarray:
     """Integrate the reverse VP-SDE from noise level ``t_star`` back to 0."""
     N = schedule.T
-    beta_0 = beta_min if beta_min is not None else float(schedule.beta[0]) * N
-    beta_1 = beta_max if beta_max is not None else float(schedule.beta[-1]) * N
+    beta_0 = beta_min if beta_min is not None else schedule.beta_start * N
+    beta_1 = beta_max if beta_max is not None else schedule.beta_end * N
     taus, hs = _sde_grid(t_star, N)
     keys = jax.random.split(rng, len(taus))
     bsz = x_t.shape[0]
@@ -124,9 +124,18 @@ class RevDiffWavePurifier:
         self.rand_t = rand_t
         self.t_delta = t_delta
         self.remat = remat
+        self._eps_fn = None
+
+    @classmethod
+    def from_eps_fn(cls, eps_fn: EpsFn, schedule=None, **kw):
+        self = cls(None, None, schedule, **kw)
+        self._eps_fn = eps_fn
+        return self
 
     @property
     def eps_fn(self) -> EpsFn:
+        if self._eps_fn is not None:
+            return self._eps_fn
         return lambda x, t: self.apply_fn(self.params, x, t[:, None])
 
     def __call__(self, x, rng):

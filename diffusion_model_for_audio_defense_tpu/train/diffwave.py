@@ -82,3 +82,90 @@ def make_diffwave_train_step(
         in_shardings=(None, None, batch_sharding, rng_sharding),
         donate_argnums=(0, 1) if donate else (),
     )
+
+
+class DiffWaveTrainer:
+    """Reference ``DiffWave_Unconditional/train.py:19-138`` loop: Adam 2e-4,
+    ε-MSE steps, checkpoint every ``iters_per_ckpt`` (resume from the highest
+    saved iteration), loss logging every ``iters_per_logging``."""
+
+    def __init__(
+        self,
+        model,
+        schedule: DiffusionSchedule,
+        learning_rate: float = 2e-4,
+        output_directory: str = "exp/logs/checkpoint",
+        iters_per_ckpt: int = 10000,
+        iters_per_logging: int = 100,
+        n_iters: int = 1_000_001,
+        mesh: Optional[Mesh] = None,
+        segment_length: int = 16000,
+        rng=None,
+    ):
+        import os
+
+        from ..core.checkpoint import load_pytree, save_pytree
+        from . import logger as _logger
+
+        self.model = model
+        self.schedule = schedule
+        self.output_directory = output_directory
+        self.iters_per_ckpt = iters_per_ckpt
+        self.iters_per_logging = iters_per_logging
+        self.n_iters = n_iters
+        self.logger = _logger
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._save, self._load = save_pytree, load_pytree
+
+        self.rng, k = jax.random.split(self.rng)
+        self.params = model.init(k, jnp.zeros((1, 1, segment_length)), jnp.zeros((1, 1)))
+        self.opt = optax.adam(learning_rate)
+        self.opt_state = self.opt.init(self.params)
+        self.n_iter = self._try_resume()
+        self.step_fn = make_diffwave_train_step(
+            lambda p, x, t: model.apply(p, x, t), schedule, self.opt, mesh=mesh, donate=False
+        )
+
+    def _try_resume(self) -> int:
+        """find_max_epoch-style resume (reference ``util.py:21-43``)."""
+        import os
+
+        if not os.path.isdir(self.output_directory):
+            return 0
+        iters = [int(d.split("_")[-1]) for d in os.listdir(self.output_directory) if d.startswith("ckpt_")]
+        if not iters:
+            return 0
+        it = max(iters)
+        try:
+            state = self._load(os.path.join(self.output_directory, f"ckpt_{it}"))
+            self.params = state["params"]
+            self.opt_state = self.opt.init(self.params)  # opt state layout may change across versions
+            print(f"resumed from iteration {it}")
+            return it
+        except Exception as e:  # mirror the reference's tolerant resume (train.py:96-98)
+            print(f"resume failed ({e}); starting fresh")
+            return 0
+
+    def save_checkpoint(self):
+        import os
+
+        os.makedirs(self.output_directory, exist_ok=True)
+        self._save(os.path.join(self.output_directory, f"ckpt_{self.n_iter}"), {"params": self.params})
+
+    def train(self, data_iter, max_iters: Optional[int] = None):
+        end = min(self.n_iters, self.n_iter + max_iters) if max_iters else self.n_iters
+        while self.n_iter < end:
+            batch = next(data_iter)
+            x = jnp.asarray(batch if not isinstance(batch, dict) else batch["samples"])
+            if x.ndim == 2:
+                x = x[:, None, :]
+            self.rng, k = jax.random.split(self.rng)
+            self.params, self.opt_state, loss = self.step_fn(self.params, self.opt_state, x, k)
+            if self.n_iter % self.iters_per_logging == 0:
+                self.logger.logkv("iteration", self.n_iter)
+                self.logger.logkv("loss", float(loss))
+                self.logger.dumpkvs()
+            self.n_iter += 1
+            if self.n_iter % self.iters_per_ckpt == 0:
+                self.save_checkpoint()
+        return float(loss)
