@@ -94,10 +94,12 @@ def _batchnorm(sd: Mapping, prefix: str):
 # ------------------------------------------------------------ net converters
 
 
-def convert_diffwave_state_dict(sd: Mapping, num_res_layers: int = 36) -> dict:
+def convert_diffwave_state_dict(sd: Mapping, num_res_layers: int = 36, fuse_res_skip: bool = False) -> dict:
     """Reference WaveNet state dict → Flax ``WaveNet`` params
     (``use_weight_norm=False`` layout). Key layout per
-    ``DiffWave_Unconditional/WaveNet.py`` module tree."""
+    ``DiffWave_Unconditional/WaveNet.py`` module tree. With
+    ``fuse_res_skip`` (the model default) the per-block res_conv/skip_conv
+    kernels are concatenated into the single ``rs_conv`` matmul."""
     sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v for k, v in sd.items()}
     p = {
         "init_conv": {"Conv_0": _conv1d(sd, "init_conv.0.conv")},
@@ -108,12 +110,21 @@ def convert_diffwave_state_dict(sd: Mapping, num_res_layers: int = 36) -> dict:
     }
     for n in range(num_res_layers):
         b = f"residual_layer.residual_blocks.{n}"
-        p[f"res_block_{n}"] = {
+        blk = {
             "Dense_0": _dense(sd, f"{b}.fc_t"),
             "dilated_conv": {"Conv_0": _conv1d(sd, f"{b}.dilated_conv_layer.conv")},
-            "res_conv": {"Conv_0": _conv1d(sd, f"{b}.res_conv")},
-            "skip_conv": {"Conv_0": _conv1d(sd, f"{b}.skip_conv")},
         }
+        res = _conv1d(sd, f"{b}.res_conv")
+        skip = _conv1d(sd, f"{b}.skip_conv")
+        if fuse_res_skip:
+            blk["rs_conv"] = {"Conv_0": {
+                "kernel": np.concatenate([res["kernel"], skip["kernel"]], axis=-1),
+                "bias": np.concatenate([res["bias"], skip["bias"]]),
+            }}
+        else:
+            blk["res_conv"] = {"Conv_0": res}
+            blk["skip_conv"] = {"Conv_0": skip}
+        p[f"res_block_{n}"] = blk
     return jax.tree.map(np.asarray, p)
 
 

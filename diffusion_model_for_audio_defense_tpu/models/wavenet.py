@@ -79,6 +79,7 @@ class ResidualBlock(nn.Module):
     skip_channels: int
     dilation: int
     use_weight_norm: bool = False
+    fuse_res_skip: bool = False
     dtype: object = None
 
     @nn.compact
@@ -88,8 +89,15 @@ class ResidualBlock(nn.Module):
         h = x + part_t[:, None, :]
         h = _WNConv(2 * self.res_channels, 3, self.dilation, self.use_weight_norm, dtype=self.dtype, name="dilated_conv")(h)
         gate = jnp.tanh(h[..., : self.res_channels]) * nn.sigmoid(h[..., self.res_channels :])
-        res = _WNConv(self.res_channels, 1, use_weight_norm=self.use_weight_norm, dtype=self.dtype, name="res_conv")(gate)
-        skip = _WNConv(self.skip_channels, 1, use_weight_norm=self.use_weight_norm, dtype=self.dtype, name="skip_conv")(gate)
+        if self.fuse_res_skip and not self.use_weight_norm:
+            # one (C → C_res+C_skip) matmul instead of two: gate is read once
+            # and the MXU tile is wider (checkpoint converter concatenates the
+            # reference's res_conv/skip_conv kernels — core/checkpoint.py)
+            rs = _WNConv(self.res_channels + self.skip_channels, 1, dtype=self.dtype, name="rs_conv")(gate)
+            res, skip = rs[..., : self.res_channels], rs[..., self.res_channels :]
+        else:
+            res = _WNConv(self.res_channels, 1, use_weight_norm=self.use_weight_norm, dtype=self.dtype, name="res_conv")(gate)
+            skip = _WNConv(self.skip_channels, 1, use_weight_norm=self.use_weight_norm, dtype=self.dtype, name="skip_conv")(gate)
         return (x + res) * math.sqrt(0.5), skip
 
 
@@ -106,6 +114,7 @@ class WaveNet(nn.Module):
     diffusion_step_embed_dim_mid: int = 512
     diffusion_step_embed_dim_out: int = 512
     use_weight_norm: bool = False
+    fuse_res_skip: bool = False
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
@@ -130,6 +139,7 @@ class WaveNet(nn.Module):
                 self.skip_channels,
                 dilation=2 ** (n % self.dilation_cycle),
                 use_weight_norm=self.use_weight_norm,
+                fuse_res_skip=self.fuse_res_skip,
                 dtype=self.dtype,
                 name=f"res_block_{n}",
             )(h, emb)
@@ -150,3 +160,83 @@ def wavenet_from_config(wavenet_config: dict, **overrides) -> WaveNet:
     cfg = dict(wavenet_config)
     cfg.update(overrides)
     return WaveNet(**cfg)
+
+
+def wavenet_apply_pallas(
+    variables,
+    audio: jnp.ndarray,
+    diffusion_steps: jnp.ndarray,
+    num_res_layers: int = 36,
+    dilation_cycle: int = 12,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """WaveNet forward with the Pallas fused residual-block kernel.
+
+    Pure function over the standard (unfused) ``WaveNet`` param tree —
+    res/skip kernels are concatenated per block at trace time. Numerically
+    equivalent to ``WaveNet.apply`` (kernel validated against the XLA conv to
+    ~2e-4/block in f32; full-model spread ~2e-2 rel from default-precision
+    matmul accumulation order on both sides). Measured on v5e at B=64 bf16:
+    429 ms vs 387 ms for the XLA path — the kernel beats a *standalone* XLA
+    block 1.8× (13.6 vs 24 ms) but XLA's cross-block fusion still wins
+    in-model, so this stays an optional path for kernel iteration
+    (see ops/pallas/wavenet_block.py).
+    """
+    from ..ops.pallas.wavenet_block import fused_residual_block
+
+    p = variables["params"]
+    if diffusion_steps.ndim == 1:
+        diffusion_steps = diffusion_steps[:, None]
+    x = jnp.swapaxes(audio, -1, -2).astype(dtype)  # (B, L, 1)
+
+    emb_dim = p["fc_t1"]["kernel"].shape[0]
+    emb = diffusion_step_embedding(diffusion_steps, emb_dim)
+    emb = swish(emb @ p["fc_t1"]["kernel"] + p["fc_t1"]["bias"]).astype(dtype)
+    emb = swish(emb @ p["fc_t2"]["kernel"].astype(dtype) + p["fc_t2"]["bias"].astype(dtype))
+
+    w0 = p["init_conv"]["Conv_0"]
+    h = jax.nn.relu(x @ w0["kernel"][0].astype(dtype) + w0["bias"].astype(dtype))
+
+    skip_sum = jnp.zeros_like(h)
+    for n in range(num_res_layers):
+        blk = p[f"res_block_{n}"]
+        t_bias = emb @ blk["Dense_0"]["kernel"].astype(dtype) + blk["Dense_0"]["bias"].astype(dtype)
+        if "rs_conv" in blk:
+            w_rs = blk["rs_conv"]["Conv_0"]["kernel"][0]
+            b_rs = blk["rs_conv"]["Conv_0"]["bias"]
+        else:
+            w_rs = jnp.concatenate(
+                [blk["res_conv"]["Conv_0"]["kernel"][0], blk["skip_conv"]["Conv_0"]["kernel"][0]], axis=-1
+            )
+            b_rs = jnp.concatenate([blk["res_conv"]["Conv_0"]["bias"], blk["skip_conv"]["Conv_0"]["bias"]])
+        d = 2 ** (n % dilation_cycle)
+        if d <= 1024:
+            h, skip = fused_residual_block(
+                h,
+                t_bias,
+                blk["dilated_conv"]["Conv_0"]["kernel"],
+                blk["dilated_conv"]["Conv_0"]["bias"],
+                w_rs,
+                b_rs,
+                dilation=d,
+                tile_l=1024,
+                interpret=interpret,
+            )
+        else:  # d=2048 exceeds the kernel's VMEM budget (needs TL ≥ d) — XLA conv
+            from ..ops.pallas.wavenet_block import reference_residual_block
+
+            h, skip = reference_residual_block(
+                h, t_bias, blk["dilated_conv"]["Conv_0"]["kernel"].astype(dtype),
+                blk["dilated_conv"]["Conv_0"]["bias"].astype(jnp.float32),
+                w_rs.astype(dtype), b_rs.astype(jnp.float32), dilation=d,
+            )
+        skip_sum = skip_sum + skip
+        h, skip_sum = jax.lax.optimization_barrier((h, skip_sum))
+    out = skip_sum * math.sqrt(1.0 / num_res_layers)
+
+    f1 = p["final_conv1"]["Conv_0"]
+    out = jax.nn.relu(out @ f1["kernel"][0].astype(dtype) + f1["bias"].astype(dtype))
+    f2 = p["final_conv2"]["Conv_0"]
+    out = out @ f2["kernel"][0].astype(dtype) + f2["bias"].astype(dtype)
+    return jnp.swapaxes(out, -1, -2).astype(jnp.float32)

@@ -1,0 +1,53 @@
+"""Pallas fused residual block: interpret-mode parity on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_model_for_audio_defense_tpu.models import WaveNet
+from diffusion_model_for_audio_defense_tpu.models.wavenet import wavenet_apply_pallas
+from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_block import (
+    fused_residual_block,
+    reference_residual_block,
+)
+
+
+def _rand(rng, *shape, scale=0.1):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * scale)
+
+
+def test_fused_block_matches_reference_interpret(rng_np):
+    B, L, C = 2, 2000, 128
+    h = _rand(rng_np, B, L, C)
+    tb = _rand(rng_np, B, C)
+    wd = _rand(rng_np, 3, C, 2 * C, scale=0.05)
+    bd = _rand(rng_np, 2 * C)
+    wrs = _rand(rng_np, C, 2 * C, scale=0.05)
+    brs = _rand(rng_np, 2 * C)
+    for d in (1, 8, 128, 1024):
+        got_h, got_s = fused_residual_block(h, tb, wd, bd, wrs, brs, dilation=d, tile_l=1024, interpret=True)
+        want_h, want_s = reference_residual_block(h, tb, wd, bd, wrs, brs, dilation=d)
+        np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h), atol=3e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=3e-4, rtol=1e-3)
+
+
+def test_wavenet_pallas_forward_matches_flax(rng_np):
+    model = WaveNet(res_channels=128, skip_channels=128, num_res_layers=2, dilation_cycle=2,
+                    diffusion_step_embed_dim_in=8, diffusion_step_embed_dim_mid=16,
+                    diffusion_step_embed_dim_out=16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 2048)), jnp.zeros((1, 1)))
+    # the output head is zero-initialized (reference ZeroConv1d) — randomize it
+    # so the parity check is not vacuously 0 == 0
+    import flax
+    variables = flax.core.unfreeze(variables)
+    fc2 = variables["params"]["final_conv2"]["Conv_0"]
+    fc2["kernel"] = _rand(rng_np, *fc2["kernel"].shape)
+    fc2["bias"] = _rand(rng_np, *fc2["bias"].shape)
+    x = _rand(rng_np, 2, 1, 2048)
+    t = jnp.asarray([[3.0], [7.0]])
+    want = np.asarray(model.apply(variables, x, t))
+    got = np.asarray(
+        wavenet_apply_pallas(variables, x, t, num_res_layers=2, dilation_cycle=2,
+                             dtype=jnp.float32, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
