@@ -90,7 +90,8 @@ class ClassifierTrainer:
         self.best_loss = np.inf
 
         self.rng, k = jax.random.split(self.rng)
-        self.state, self.tx = make_classifier_train_state(model, sample_input, lr, weight_decay, rng=k)
+        init_input = transform(sample_input) if transform is not None else sample_input
+        self.state, self.tx = make_classifier_train_state(model, init_input, lr, weight_decay, rng=k)
         cfg = dict(mode=mode, sigma=sigma, lam=jacobian_lambda, mixup_alpha=mixup_alpha,
                    adv=(adv_eps, adv_alpha, adv_steps))
         self._train_step = jax.jit(partial(self._step, **cfg))

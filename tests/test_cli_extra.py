@@ -1,0 +1,129 @@
+"""Smoke tests: STFT transforms, eval CLIs, CIFAR-10, KWS trainer, split util."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from diffusion_model_for_audio_defense_tpu.data import write_wav
+
+
+def test_stft_transform_pipeline(rng_np):
+    from diffusion_model_for_audio_defense_tpu.transforms import (
+        AddBackgroundNoiseOnSTFT,
+        AudioFromSTFT,
+        DeleteSTFT,
+        FixSTFTDimension,
+        StretchAudioOnSTFT,
+        TimeshiftAudioOnSTFT,
+        ToMelSpectrogramFromSTFT,
+        ToSTFT,
+    )
+
+    data = {"samples": rng_np.standard_normal(16000).astype(np.float32) * 0.1, "sample_rate": 16000}
+    data = ToSTFT()(data)
+    assert data["stft"].shape == (1025, 32)
+    orig = data["stft"].copy()
+
+    # istft roundtrip before augmentation
+    d2 = AudioFromSTFT()(dict(data))
+    n = min(len(d2["istft_samples"]), 16000)
+    err = np.abs(d2["istft_samples"][200 : n - 200] - data["samples"][200 : n - 200]).max()
+    assert err < 1e-3, err
+
+    rng = np.random.default_rng(0)
+    data = StretchAudioOnSTFT(rng=rng)(data)
+    data = TimeshiftAudioOnSTFT(rng=rng)(data)
+    data = FixSTFTDimension()(data)
+    assert data["stft"].shape == orig.shape
+
+    bg = [{"stft": rng_np.standard_normal((1025, 32)) * 0.01}]
+    data = AddBackgroundNoiseOnSTFT(bg, rng=np.random.default_rng(3))(data)
+    data = ToMelSpectrogramFromSTFT(n_mels=32)(data)
+    assert data["mel_spectrogram"].shape == (32, 32)
+    assert data["mel_spectrogram"].max() <= 0 + 1e-6  # power_to_db(ref=max)
+    data = DeleteSTFT()(data)
+    assert "stft" not in data
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus3")
+    rng = np.random.default_rng(0)
+    for cls in ["zero", "one"]:
+        d = root / cls
+        d.mkdir()
+        for i in range(3):
+            write_wav(str(d / f"{i}.wav"), rng.standard_normal(16000) * 0.05)
+    return str(root)
+
+
+def test_test_speech_commands_cli(corpus, tmp_path):
+    from diffusion_model_for_audio_defense_tpu.cli.test_speech_commands import main
+
+    acc = main([
+        "--data_path", corpus, "--classifier_model", "m5", "--num_per_class", "2",
+        "--batch_size", "4", "--kaggle_csv", str(tmp_path / "k.csv"),
+    ])
+    assert 0.0 <= acc <= 1.0
+    assert os.path.exists(tmp_path / "k.csv")
+    acc2 = main([
+        "--data_path", corpus, "--classifier_model", "m5", "--num_per_class", "1",
+        "--batch_size", "2", "--multi_crop",
+    ])
+    assert 0.0 <= acc2 <= 1.0
+
+
+def test_cifar10_dataset_and_cli(tmp_path):
+    rng = np.random.default_rng(0)
+    root = tmp_path / "cifar"
+    root.mkdir()
+    for name, n in [("data_batch_1", 64), ("test_batch", 32)]:
+        d = {b"data": rng.integers(0, 256, (n, 3072), dtype=np.uint8).astype(np.uint8),
+             b"labels": rng.integers(0, 10, n).tolist()}
+        with open(root / name, "wb") as f:
+            pickle.dump(d, f)
+    for i in range(2, 6):
+        with open(root / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": rng.integers(0, 256, (8, 3072), dtype=np.uint8), b"labels": rng.integers(0, 10, 8).tolist()}, f)
+
+    from diffusion_model_for_audio_defense_tpu.cli.train_cifar10 import main
+
+    tr = main([
+        "--data_root", str(root), "--model", "resnet18", "--epochs", "1",
+        "--batch_size", "16", "--max_batches_per_epoch", "2", "--save_dir", str(tmp_path / "c10"),
+    ])
+    assert os.path.isdir(tmp_path / "c10")
+
+
+def test_train_kws_cli(tmp_path):
+    rng = np.random.default_rng(0)
+    for cls in ["hey_android", "hey_snapdragon", "hi_galaxy", "hi_lumina"]:
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(127):
+            write_wav(str(d / f"{i:03d}.wav"), rng.standard_normal(12000) * 0.02)
+    from diffusion_model_for_audio_defense_tpu.cli.train_kws import main
+
+    main([
+        "--data_path", str(tmp_path), "--epochs", "1", "--batch_size", "4",
+        "--max_batches_per_epoch", "1", "--adv_steps", "2", "--length_buckets", "2",
+        "--save_dir", str(tmp_path / "kws"),
+    ])
+    assert os.path.isdir(tmp_path / "kws")
+
+
+def test_split_dataset_cli(tmp_path):
+    root = tmp_path / "speech_commands"
+    (root / "yes").mkdir(parents=True)
+    for i in range(4):
+        write_wav(str(root / "yes" / f"{i}.wav"), np.zeros(100))
+    (root / "validation_list.txt").write_text("yes/0.wav\n")
+    (root / "testing_list.txt").write_text("yes/1.wav\n")
+    from diffusion_model_for_audio_defense_tpu.cli.split_dataset import main
+
+    main([str(root)])
+    assert os.path.exists(tmp_path / "valid" / "yes" / "0.wav")
+    assert os.path.exists(tmp_path / "test" / "yes" / "1.wav")
+    assert os.path.exists(tmp_path / "train" / "yes" / "2.wav")
