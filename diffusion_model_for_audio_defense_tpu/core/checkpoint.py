@@ -128,6 +128,21 @@ def convert_diffwave_state_dict(sd: Mapping, num_res_layers: int = 36, fuse_res_
     return jax.tree.map(np.asarray, p)
 
 
+def stack_wavenet_cycles(params: dict, num_res_layers: int = 36, dilation_cycle: int = 12) -> dict:
+    """Unrolled WaveNet params (res_block_0..N-1) → scan-over-cycles layout
+    (``WaveNet(scan_cycles=True)``): per-position blocks stacked across
+    cycles on a new leading axis under ``cycles/res_block_i``."""
+    n_cycles = num_res_layers // dilation_cycle
+    assert n_cycles * dilation_cycle == num_res_layers
+    stacked = {}
+    for i in range(dilation_cycle):
+        trees = [params[f"res_block_{c * dilation_cycle + i}"] for c in range(n_cycles)]
+        stacked[f"res_block_{i}"] = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *trees)
+    out = {k: v for k, v in params.items() if not k.startswith("res_block_")}
+    out["cycles"] = stacked
+    return out
+
+
 def load_diffwave_checkpoint(path: str, num_res_layers: int = 36) -> dict:
     """Load a reference ``{iter}.pkl`` and convert (``train.py:131-136`` format)."""
     import torch

@@ -101,6 +101,36 @@ class ResidualBlock(nn.Module):
         return (x + res) * math.sqrt(0.5), skip
 
 
+class _DilationCycle(nn.Module):
+    """One dilation cycle (blocks with dilations 2^0 … 2^(cycle-1)) as a scan
+    body: `nn.scan` over cycles stacks the per-cycle params and cuts the HLO
+    (and compile time) by the number of cycles."""
+
+    res_channels: int
+    skip_channels: int
+    dilation_cycle: int
+    use_weight_norm: bool = False
+    fuse_res_skip: bool = False
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, carry, emb):
+        h, skip_sum = carry
+        for i in range(self.dilation_cycle):
+            h, skip = ResidualBlock(
+                self.res_channels,
+                self.skip_channels,
+                dilation=2**i,
+                use_weight_norm=self.use_weight_norm,
+                fuse_res_skip=self.fuse_res_skip,
+                dtype=self.dtype,
+                name=f"res_block_{i}",
+            )(h, emb)
+            skip_sum = skip_sum + skip
+            h, skip_sum = jax.lax.optimization_barrier((h, skip_sum))
+        return (h, skip_sum), None
+
+
 class WaveNet(nn.Module):
     """DiffWave ε-net. Call with ``(audio (B,1,L), t (B,1))`` → ε ``(B,1,L)``."""
 
@@ -115,6 +145,7 @@ class WaveNet(nn.Module):
     diffusion_step_embed_dim_out: int = 512
     use_weight_norm: bool = False
     fuse_res_skip: bool = False
+    scan_cycles: bool = False  # lax.scan over dilation cycles (stacked params)
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
@@ -133,21 +164,38 @@ class WaveNet(nn.Module):
         h = nn.relu(_WNConv(self.res_channels, 1, use_weight_norm=self.use_weight_norm, dtype=self.dtype, name="init_conv")(x))
 
         skip_sum = jnp.zeros(h.shape[:-1] + (self.skip_channels,), dtype=h.dtype)
-        for n in range(self.num_res_layers):
-            h, skip = ResidualBlock(
-                self.res_channels,
-                self.skip_channels,
-                dilation=2 ** (n % self.dilation_cycle),
-                use_weight_norm=self.use_weight_norm,
-                fuse_res_skip=self.fuse_res_skip,
-                dtype=self.dtype,
-                name=f"res_block_{n}",
-            )(h, emb)
-            skip_sum = skip_sum + skip
-            # force block-by-block scheduling: without this XLA's latency-hiding
-            # scheduler keeps every block's (B, L, C_skip) output alive at once
-            # (36 × 0.5 GB at batch 32 → OOM); the barrier caps live buffers
-            h, skip_sum = jax.lax.optimization_barrier((h, skip_sum))
+        block_kwargs = dict(
+            res_channels=self.res_channels,
+            skip_channels=self.skip_channels,
+            use_weight_norm=self.use_weight_norm,
+            fuse_res_skip=self.fuse_res_skip,
+            dtype=self.dtype,
+        )
+        if self.scan_cycles:
+            assert self.num_res_layers % self.dilation_cycle == 0
+            n_cycles = self.num_res_layers // self.dilation_cycle
+            ScannedCycle = nn.scan(
+                _DilationCycle,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                length=n_cycles,
+            )
+            (h, skip_sum), _ = ScannedCycle(
+                dilation_cycle=self.dilation_cycle, name="cycles", **block_kwargs
+            )((h, skip_sum), emb)
+        else:
+            for n in range(self.num_res_layers):
+                h, skip = ResidualBlock(
+                    dilation=2 ** (n % self.dilation_cycle),
+                    name=f"res_block_{n}",
+                    **block_kwargs,
+                )(h, emb)
+                skip_sum = skip_sum + skip
+                # force block-by-block scheduling: without this XLA's latency-
+                # hiding scheduler keeps every block's (B, L, C_skip) output
+                # alive at once (36 × 0.5 GB at batch 32 → OOM)
+                h, skip_sum = jax.lax.optimization_barrier((h, skip_sum))
         out = skip_sum * math.sqrt(1.0 / self.num_res_layers)
 
         out = nn.relu(_WNConv(self.skip_channels, 1, use_weight_norm=self.use_weight_norm, dtype=self.dtype, name="final_conv1")(out))

@@ -146,3 +146,25 @@ def test_wavenet_grad_flows(rng_np):
     t = jnp.ones((1, 1), dtype=jnp.float32)
     g = jax.grad(lambda v: jnp.sum(fm.apply(variables, v, t) ** 2))(x)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_scan_cycles_matches_unrolled(rng_np):
+    from diffusion_model_for_audio_defense_tpu.core.checkpoint import stack_wavenet_cycles
+
+    tm, fm, variables = _make_pair(3)
+    scanned = WaveNet(
+        res_channels=RES, skip_channels=SKIP, num_res_layers=LAYERS, dilation_cycle=CYCLE,
+        diffusion_step_embed_dim_in=EMB_IN, diffusion_step_embed_dim_mid=EMB_MID,
+        diffusion_step_embed_dim_out=EMB_OUT, scan_cycles=True,
+    )
+    sv = {"params": stack_wavenet_cycles(variables["params"], LAYERS, CYCLE)}
+    # structure check against a fresh init
+    ref_struct = jax.tree.structure(
+        scanned.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 32)), jnp.zeros((1, 1)))
+    )
+    assert jax.tree.structure(sv) == ref_struct
+    x = jnp.asarray(rng_np.standard_normal((2, 1, 64)).astype(np.float32))
+    t = jnp.asarray([[3.0], [11.0]])
+    a = np.asarray(fm.apply(variables, x, t))
+    b = np.asarray(scanned.apply(sv, x, t))
+    np.testing.assert_allclose(a, b, atol=1e-5)
