@@ -219,3 +219,16 @@ def profile(scopename: str):
         return wrapper
 
     return deco
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str):
+    """jax.profiler trace scope (SURVEY.md §5.1 TPU equivalent of the
+    reference's CUDA-event timing): view with TensorBoard's profile plugin."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
