@@ -120,6 +120,10 @@ def build_defender(args, n_mels: int = 32):
         path = getattr(args, "ddpm_path", None)
         if path and os.path.isdir(path):
             variables = load_pytree(path)
+        elif path and os.path.isfile(path):
+            from ..core.checkpoint import load_unet_checkpoint
+
+            variables = load_unet_checkpoint(path)  # reference model084000.pt format
         else:
             print(f"[warn] UNet checkpoint not found at {path!r}; using random init", file=sys.stderr)
             variables = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 32, 32)), jnp.zeros((1,)))

@@ -227,6 +227,121 @@ def load_classifier_checkpoint(path: str, model_name: str = "resnext29_8_64") ->
     raise NotImplementedError(f"no converter for {model_name} yet; use a native orbax checkpoint")
 
 
+def _groupnorm(sd: Mapping, prefix: str) -> dict:
+    return {
+        "scale": _np(sd[f"{prefix}.weight"]).astype(np.float32),
+        "bias": _np(sd[f"{prefix}.bias"]).astype(np.float32),
+    }
+
+
+def _conv1x1_as_dense(sd: Mapping, prefix: str) -> dict:
+    """torch conv (out,in,1[,1]) used as a channel-mixing 1×1 → flax Dense."""
+    w = _np(sd[f"{prefix}.weight"]).astype(np.float32)
+    w = w.reshape(w.shape[0], w.shape[1])
+    out = {"kernel": np.ascontiguousarray(w.T)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"]).astype(np.float32)
+    return out
+
+
+def convert_unet_state_dict(
+    sd: Mapping,
+    num_res_blocks: int = 3,
+    channel_mult=(1, 2, 2, 2),
+    attention_ds=(2, 4),
+    num_heads: int = 4,
+) -> dict:
+    """Improved-diffusion ``UNetModel`` state dict → Flax ``models/unet.py``
+    params. Walks the reference's ``input_blocks``/``middle_block``/
+    ``output_blocks`` ModuleList indices in construction order
+    (``improved_diffusion/unet.py:278-438``)."""
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v for k, v in sd.items()}
+
+    def resblock(prefix):
+        p = {
+            "in_norm": _groupnorm(sd, f"{prefix}.in_layers.0"),
+            "in_conv": _conv2d(sd, f"{prefix}.in_layers.2"),
+            "emb_proj": _dense(sd, f"{prefix}.emb_layers.1"),
+            "out_norm": _groupnorm(sd, f"{prefix}.out_layers.0"),
+            "out_conv": _conv2d(sd, f"{prefix}.out_layers.3"),
+        }
+        if f"{prefix}.skip_connection.weight" in sd:
+            p["skip"] = _conv1x1_as_dense(sd, f"{prefix}.skip_connection")
+        return p
+
+    def attnblock(prefix):
+        qkv = _conv1x1_as_dense(sd, f"{prefix}.qkv")
+        # torch lays qkv channels out per-head ([q_h k_h v_h] × heads,
+        # unet.py:253-266 reshape); ours is [q(all heads) k v] — permute
+        C3 = qkv["kernel"].shape[1]
+        C = C3 // 3
+        d = C // num_heads
+        perm = np.concatenate(
+            [np.arange(g * 3 * d + p * d, g * 3 * d + (p + 1) * d) for p in range(3) for g in range(num_heads)]
+        )
+        qkv = {"kernel": qkv["kernel"][:, perm], "bias": qkv["bias"][perm]}
+        return {
+            "norm": _groupnorm(sd, f"{prefix}.norm"),
+            "qkv": qkv,
+            "proj_out": _conv1x1_as_dense(sd, f"{prefix}.proj_out"),
+        }
+
+    p = {
+        "time_embed_0": _dense(sd, "time_embed.0"),
+        "time_embed_2": _dense(sd, "time_embed.2"),
+        "in_conv": _conv2d(sd, "input_blocks.0.0"),
+        "out_norm": _groupnorm(sd, "out.0"),
+        "out_conv": _conv2d(sd, "out.2"),
+        "mid_res_0": resblock("middle_block.0"),
+        "mid_attn": attnblock("middle_block.1"),
+        "mid_res_1": resblock("middle_block.2"),
+    }
+
+    # down path: input_blocks[1:] in construction order
+    idx = 1
+    ds = 1
+    blk = 0
+    for level, _ in enumerate(channel_mult):
+        for _ in range(num_res_blocks):
+            p[f"down_res_{blk}"] = resblock(f"input_blocks.{idx}.0")
+            if ds in attention_ds:
+                p[f"down_attn_{blk}"] = attnblock(f"input_blocks.{idx}.1")
+            idx += 1
+            blk += 1
+        if level != len(channel_mult) - 1:
+            p[f"down_sample_{level}"] = {"op": _conv2d(sd, f"input_blocks.{idx}.0.op")}
+            idx += 1
+            ds *= 2
+
+    # up path: output_blocks in construction order (levels reversed)
+    idx = 0
+    blk = 0
+    for level, _ in list(enumerate(channel_mult))[::-1]:
+        for i in range(num_res_blocks + 1):
+            p[f"up_res_{blk}"] = resblock(f"output_blocks.{idx}.0")
+            sub = 1
+            if ds in attention_ds:
+                p[f"up_attn_{blk}"] = attnblock(f"output_blocks.{idx}.{sub}")
+                sub += 1
+            if level and i == num_res_blocks:
+                p[f"up_sample_{level}"] = {"conv": _conv2d(sd, f"output_blocks.{idx}.{sub}.conv")}
+            idx += 1
+            blk += 1
+        if level:
+            ds //= 2
+
+    return jax.tree.map(np.asarray, p)
+
+
+def load_unet_checkpoint(path: str, **kwargs) -> dict:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {"params": convert_unet_state_dict(sd, **kwargs)}
+
+
 # ------------------------------------------------------------------- orbax
 
 
