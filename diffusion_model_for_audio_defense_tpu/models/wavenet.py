@@ -101,6 +101,46 @@ class ResidualBlock(nn.Module):
         return (x + res) * math.sqrt(0.5), skip
 
 
+class _Conv0Params(nn.Module):
+    """Parameter-only stand-in matching ``_WNConv``'s tree (Conv_0/kernel)."""
+
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.kaiming_normal(), self.kshape)
+        b = self.param("bias", nn.initializers.zeros_init(), (self.kshape[-1],))
+        return k, b
+
+
+class _NamedConvParams(nn.Module):
+    kshape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return _Conv0Params(self.kshape, name="Conv_0")()
+
+
+class _GroupBlockParams(nn.Module):
+    """Declares one residual block's params (same tree as ``ResidualBlock``
+    unfused layout) and returns them raw for the fused group kernel."""
+
+    res_channels: int
+    skip_channels: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, emb):
+        C, Cs = self.res_channels, self.skip_channels
+        t_bias = nn.Dense(C, dtype=self.dtype)(emb)  # Dense_0
+        wd, bd = _NamedConvParams((3, C, 2 * C), name="dilated_conv")()
+        wr, br = _NamedConvParams((1, C, C), name="res_conv")()
+        ws, bs = _NamedConvParams((1, C, Cs), name="skip_conv")()
+        w_rs = jnp.concatenate([wr[0], ws[0]], axis=-1)
+        b_rs = jnp.concatenate([br, bs])
+        return t_bias, wd, bd, w_rs, b_rs
+
+
 class _DilationCycle(nn.Module):
     """One dilation cycle (blocks with dilations 2^0 … 2^(cycle-1)) as a scan
     body: `nn.scan` over cycles stacks the per-cycle params and cuts the HLO
@@ -146,6 +186,7 @@ class WaveNet(nn.Module):
     use_weight_norm: bool = False
     fuse_res_skip: bool = False
     scan_cycles: bool = False  # lax.scan over dilation cycles (stacked params)
+    use_pallas_groups: bool = False  # fused Pallas kernel for small-dilation runs
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
@@ -184,6 +225,39 @@ class WaveNet(nn.Module):
             (h, skip_sum), _ = ScannedCycle(
                 dilation_cycle=self.dilation_cycle, name="cycles", **block_kwargs
             )((h, skip_sum), emb)
+        elif self.use_pallas_groups and not self.use_weight_norm:
+            from ..ops.pallas.wavenet_group import fused_residual_group
+
+            n = 0
+            while n < self.num_res_layers:
+                group = []
+                while (
+                    n < self.num_res_layers
+                    and sum(g[1] for g in group) + 2 ** (n % self.dilation_cycle) <= 64
+                ):
+                    group.append((n, 2 ** (n % self.dilation_cycle)))
+                    n += 1
+                if len(group) == 1:  # lone small block: XLA is faster
+                    n -= 1
+                    group = []
+                if group:
+                    parts = [
+                        _GroupBlockParams(self.res_channels, self.skip_channels, self.dtype,
+                                          name=f"res_block_{i}")(emb)
+                        for i, _ in group
+                    ]
+                    stacked = [jnp.stack([prt[k] for prt in parts]) for k in range(5)]
+                    h, skip = fused_residual_group(
+                        h, *stacked, dilations=tuple(d for _, d in group), tile_l=1024
+                    )
+                    skip_sum = skip_sum + skip
+                else:
+                    h, skip = ResidualBlock(
+                        dilation=2 ** (n % self.dilation_cycle), name=f"res_block_{n}", **block_kwargs
+                    )(h, emb)
+                    skip_sum = skip_sum + skip
+                    n += 1
+                h, skip_sum = jax.lax.optimization_barrier((h, skip_sum))
         else:
             for n in range(self.num_res_layers):
                 h, skip = ResidualBlock(
@@ -246,8 +320,10 @@ def wavenet_apply_pallas(
     w0 = p["init_conv"]["Conv_0"]
     h = jax.nn.relu(x @ w0["kernel"][0].astype(dtype) + w0["bias"].astype(dtype))
 
-    skip_sum = jnp.zeros_like(h)
-    for n in range(num_res_layers):
+    from ..ops.pallas.wavenet_block import reference_residual_block
+    from ..ops.pallas.wavenet_group import fused_residual_group
+
+    def block_params(n):
         blk = p[f"res_block_{n}"]
         t_bias = emb @ blk["Dense_0"]["kernel"].astype(dtype) + blk["Dense_0"]["bias"].astype(dtype)
         if "rs_conv" in blk:
@@ -258,29 +334,47 @@ def wavenet_apply_pallas(
                 [blk["res_conv"]["Conv_0"]["kernel"][0], blk["skip_conv"]["Conv_0"]["kernel"][0]], axis=-1
             )
             b_rs = jnp.concatenate([blk["res_conv"]["Conv_0"]["bias"], blk["skip_conv"]["Conv_0"]["bias"]])
-        d = 2 ** (n % dilation_cycle)
-        if d <= 1024:
-            h, skip = fused_residual_block(
-                h,
-                t_bias,
-                blk["dilated_conv"]["Conv_0"]["kernel"],
-                blk["dilated_conv"]["Conv_0"]["bias"],
-                w_rs,
-                b_rs,
-                dilation=d,
-                tile_l=1024,
-                interpret=interpret,
-            )
-        else:  # d=2048 exceeds the kernel's VMEM budget (needs TL ≥ d) — XLA conv
-            from ..ops.pallas.wavenet_block import reference_residual_block
+        wd = blk["dilated_conv"]["Conv_0"]["kernel"]
+        bd = blk["dilated_conv"]["Conv_0"]["bias"]
+        return t_bias, wd, bd, w_rs, b_rs
 
-            h, skip = reference_residual_block(
-                h, t_bias, blk["dilated_conv"]["Conv_0"]["kernel"].astype(dtype),
-                blk["dilated_conv"]["Conv_0"]["bias"].astype(jnp.float32),
-                w_rs.astype(dtype), b_rs.astype(jnp.float32), dilation=d,
+    skip_sum = jnp.zeros_like(h)
+    # the 6-block group holds ~6.3MB of bf16 weights in VMEM; f32 doubles that
+    # and overflows, so grouping only engages for sub-f32 compute dtypes
+    group_budget = 64 if jnp.dtype(dtype).itemsize < 4 else 0
+    n = 0
+    while n < num_res_layers:
+        d = 2 ** (n % dilation_cycle)
+        # fuse runs of small dilations (Σd ≤ tile budget) into one group kernel
+        group = []
+        while n < num_res_layers and sum(g[1] for g in group) + 2 ** (n % dilation_cycle) <= group_budget:
+            group.append((n, 2 ** (n % dilation_cycle)))
+            n += 1
+        if len(group) == 1:  # a lone block gains nothing from the group kernel
+            n -= 1
+            group = []
+        if group:
+            ns = [g[0] for g in group]
+            dils = tuple(g[1] for g in group)
+            parts = [block_params(i) for i in ns]
+            stack = lambda k: jnp.stack([prt[k] for prt in parts])
+            h, skip = fused_residual_group(
+                h, stack(0), stack(1), stack(2), stack(3), stack(4),
+                dilations=dils, tile_l=1024, interpret=interpret,
             )
+            skip_sum = skip_sum + skip
+            h, skip_sum = jax.lax.optimization_barrier((h, skip_sum))
+            continue
+        # larger dilations: the fused-group VMEM/halo budget is exceeded and
+        # per-block Pallas measured slower than XLA's in-model conv — use XLA
+        t_bias, wd, bd, w_rs, b_rs = block_params(n)
+        h, skip = reference_residual_block(
+            h, t_bias, wd.astype(dtype), bd.astype(jnp.float32),
+            w_rs.astype(dtype), b_rs.astype(jnp.float32), dilation=d,
+        )
         skip_sum = skip_sum + skip
         h, skip_sum = jax.lax.optimization_barrier((h, skip_sum))
+        n += 1
     out = skip_sum * math.sqrt(1.0 / num_res_layers)
 
     f1 = p["final_conv1"]["Conv_0"]

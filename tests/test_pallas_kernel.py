@@ -51,3 +51,46 @@ def test_wavenet_pallas_forward_matches_flax(rng_np):
                              dtype=jnp.float32, interpret=True)
     )
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_group_kernel_matches_reference_interpret(rng_np):
+    from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_group import (
+        fused_residual_group,
+        reference_residual_group,
+    )
+
+    B, L, C, G = 2, 2000, 128, 4
+    h = _rand(rng_np, B, L, C)
+    tb = _rand(rng_np, G, B, C)
+    wd = _rand(rng_np, G, 3, C, 2 * C, scale=0.05)
+    bd = _rand(rng_np, G, 2 * C)
+    wrs = _rand(rng_np, G, C, 2 * C, scale=0.05)
+    brs = _rand(rng_np, G, 2 * C)
+    dils = (1, 2, 4, 8)
+    got_h, got_s = fused_residual_group(h, tb, wd, bd, wrs, brs, dilations=dils, tile_l=1024, interpret=True)
+    want_h, want_s = reference_residual_group(h, tb, wd, bd, wrs, brs, dils)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h), atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), atol=5e-4, rtol=1e-3)
+
+
+def test_wavenet_pallas_grouped_bf16_interpret(rng_np):
+    """Full pallas forward in bf16 (engages the fused group path) vs flax bf16."""
+    model = WaveNet(res_channels=128, skip_channels=128, num_res_layers=4, dilation_cycle=2,
+                    diffusion_step_embed_dim_in=8, diffusion_step_embed_dim_mid=16,
+                    diffusion_step_embed_dim_out=16, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 2048)), jnp.zeros((1, 1)))
+    import flax
+
+    variables = flax.core.unfreeze(variables)
+    fc2 = variables["params"]["final_conv2"]["Conv_0"]
+    fc2["kernel"] = _rand(rng_np, *fc2["kernel"].shape)
+    x = _rand(rng_np, 2, 1, 2048)
+    t = jnp.asarray([[3.0], [7.0]])
+    want = np.asarray(model.apply(variables, x, t))
+    got = np.asarray(
+        wavenet_apply_pallas(variables, x, t, num_res_layers=4, dilation_cycle=2,
+                             dtype=jnp.bfloat16, interpret=True)
+    )
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert np.abs(want).max() > 1e-4  # non-vacuous
+    assert rel < 0.08, rel  # bf16 accumulation-order spread
