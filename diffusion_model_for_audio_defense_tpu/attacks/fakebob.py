@@ -58,6 +58,18 @@ class FAKEBOB:
         self.batch_size = batch_size
         self.verbose = verbose
 
+    def estimate_threshold(self, x, step: float = 0.1):
+        """Decision-threshold estimation for SV/OSI tasks
+        (reference ``black_box_attack.py:221-311``). The speech-commands task
+        has no reject threshold — mirror the reference's CSI behavior."""
+        if self.task in ("SCR", "CSI"):
+            print("--- Warning: no need to estimate threshold for this task, quitting ---")
+            return None
+        raise NotImplementedError(
+            "threshold estimation targets SV/OSI speaker-recognition systems; "
+            "this framework exposes the SCR task only (like the reference's active path)"
+        )
+
     def generate(self, x, y, targeted: bool = False, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.targeted = targeted

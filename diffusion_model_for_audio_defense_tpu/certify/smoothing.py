@@ -190,3 +190,12 @@ class RandomizedSmoothing:
                 y_pred[i] = c_a
                 radius[i] = sigma * float(_norm.ppf(pa))
         return y_pred, radius
+
+    @staticmethod
+    def certified_robust_correct(y_pred, y_target, r_c, r: float = 1.0) -> int:
+        """Count examples certified correct at radius ≥ r
+        (reference ``certified_robust.py:119-127``)."""
+        y_pred = np.asarray(y_pred)
+        y_target = np.asarray(y_target)
+        r_c = np.asarray(r_c)
+        return int(((y_pred == y_target) & (r_c >= r)).sum())

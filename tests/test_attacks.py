@@ -209,3 +209,17 @@ def test_masker_threshold_shape_and_sanity():
     assert psd.max() <= 96.0 + 1e-6 and pmax == float(pmax)
     # the 440 Hz tone bin should be a masker: threshold near it well above ATH minimum
     assert th.mean() > -100
+
+
+def test_eot_chunked_matches_deterministic(rng_np):
+    x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32)) * 0.1
+    y = jnp.asarray([0, 1])
+    # deterministic model: chunking must not change averages at all
+    det = lambda xx, k: toy_model(xx)
+    full = EOT(det, cross_entropy, eot_size=8)
+    chunked = EOT(det, cross_entropy, eot_size=8, eot_batch_size=3)
+    s1, l1, g1, d1 = full(x, y, jax.random.PRNGKey(0))
+    s2, l2, g2, d2 = chunked(x, y, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+    assert d2.shape == (8, 2)
