@@ -346,9 +346,13 @@ def load_unet_checkpoint(path: str, **kwargs) -> dict:
 
 
 def save_pytree(path: str, tree) -> None:
+    import shutil
+
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    if os.path.isdir(path):  # overwrite like torch.save would
+        shutil.rmtree(path)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, tree)
 

@@ -65,6 +65,8 @@ class TrainLoop:
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.step = 0
 
+        if resume_params is None:
+            resume_params, self.step = self._discover_resume(save_dir)
         if resume_params is not None:
             self.params = resume_params
         else:
@@ -124,6 +126,33 @@ class TrainLoop:
         logger.logkv_mean("grad_norm", float(gnorm))
         logger.log_loss_dict(self.diffusion.num_timesteps, np.asarray(ts), {"loss_t": np.asarray(losses).reshape(-1)})
         self.step += 1
+
+    @staticmethod
+    def _discover_resume(save_dir: str):
+        """Auto-resume from the newest ``model{step}`` checkpoint in save_dir
+        (reference ``train_util.py:337-347`` newest-model discovery)."""
+        import re
+
+        from ..core.checkpoint import load_pytree
+
+        if not os.path.isdir(save_dir):
+            return None, 0
+        steps = [
+            int(m.group(1))
+            for d in os.listdir(save_dir)
+            if (m := re.fullmatch(r"model(\d+)", d))
+        ]
+        if not steps:
+            return None, 0
+        step = max(steps)
+        try:
+            params = load_pytree(os.path.join(save_dir, f"model{step:06d}"))
+            logger.logkv("resumed_from_step", step)
+            print(f"resuming from {save_dir}/model{step:06d}")
+            return params, step
+        except Exception as e:  # tolerate bad checkpoints like the reference
+            print(f"resume discovery failed ({e}); starting fresh")
+            return None, 0
 
     def save(self):
         os.makedirs(self.save_dir, exist_ok=True)

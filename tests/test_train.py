@@ -162,3 +162,22 @@ def test_logger_kv_and_profile(tmp_path):
     assert out["b"] == 2.0 and "wait_io" in out
     assert os.path.exists(tmp_path / "progress.csv")
     assert os.path.exists(tmp_path / "progress.json")
+
+
+def test_trainloop_auto_resume(tmp_path, rng_np):
+    from diffusion_model_for_audio_defense_tpu.models.unet import create_unet
+
+    model = create_unet(num_channels=16, num_res_blocks=1, dropout=0.0)
+    d = create_gaussian_diffusion(steps=20)
+    wrapped = type("M", (), {
+        "init": lambda self, k, x, t: model.init(k, x, t),
+        "apply": lambda self, p, x, t: d.wrap_model(lambda xx, tt: model.apply(p, xx, tt))(x, t),
+    })()
+    data = itertools.cycle([np.asarray(rng_np.standard_normal((2, 1, 32, 32)), np.float32)])
+    tlog.configure(str(tmp_path), ["csv"])
+    loop = TrainLoop(wrapped, d, iter(data), batch_size=2, lr=1e-3,
+                     save_interval=2, save_dir=str(tmp_path / "ck"))
+    loop.run_loop(max_steps=2)  # saves at step 2
+    loop2 = TrainLoop(wrapped, d, iter(data), batch_size=2, lr=1e-3,
+                      save_interval=100, save_dir=str(tmp_path / "ck"))
+    assert loop2.step == 2  # resumed from model000002
