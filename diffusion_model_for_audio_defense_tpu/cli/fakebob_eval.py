@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import sys
 
-from .adaptive_attack_eval import build_parser, main as _main
+from .adaptive_attack_eval import build_parser, main as _main  # noqa: F401 (build_parser re-exported)
 
 
 def main(argv=None):

@@ -9,13 +9,11 @@ perf instrumentation — CUDA events around the loop, ``:69-80``).
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def build_parser():

@@ -26,7 +26,7 @@ def build_parser():
 
 
 def data_iterator(args, cfg, rng):
-    from ..data import DataLoader, SC09Dataset, SpeechCommandsDataset
+    from ..data import DataLoader, SC09Dataset
     from ..data.qualcomm_kws_dataset import QualcommKeywordSpottingDataset, random_length_collate
     from ..transforms import Compose, FixAudioLength, LoadAudio
 

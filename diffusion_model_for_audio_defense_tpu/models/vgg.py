@@ -7,8 +7,6 @@ classifier head (feature map is 1×1 after five pools on 32×32 input).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -20,12 +20,9 @@ Production config (reference ``configs/config.json:8-18``): res=256, skip=256,
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def diffusion_step_embedding(t: jnp.ndarray, dim: int = 128) -> jnp.ndarray:

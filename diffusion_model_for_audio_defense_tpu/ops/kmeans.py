@@ -7,7 +7,6 @@ Replaces ``kmeans_pytorch`` (reference ``transforms/feature_defense.py:184-
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

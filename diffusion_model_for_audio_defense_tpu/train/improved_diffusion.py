@@ -15,7 +15,6 @@ single gradient application (replacing DDP ``no_sync``).
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Optional
 
 import jax
