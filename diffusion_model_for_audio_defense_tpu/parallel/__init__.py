@@ -1,1 +1,2 @@
 from .mesh import device_mesh, data_shard, replicate  # noqa: F401
+from .multihost import process_shard_kwargs, setup_dist  # noqa: F401
