@@ -184,6 +184,7 @@ class WaveNet(nn.Module):
     fuse_res_skip: bool = False
     scan_cycles: bool = False  # lax.scan over dilation cycles (stacked params)
     use_pallas_groups: bool = False  # fused Pallas kernel for small-dilation runs
+    pallas_interpret: bool = False  # run the group kernel in interpreter mode (CPU tests)
     dtype: object = None  # compute dtype (e.g. jnp.bfloat16); params stay f32
 
     @nn.compact
@@ -245,7 +246,8 @@ class WaveNet(nn.Module):
                     ]
                     stacked = [jnp.stack([prt[k] for prt in parts]) for k in range(5)]
                     h, skip = fused_residual_group(
-                        h, *stacked, dilations=tuple(d for _, d in group), tile_l=1024
+                        h, *stacked, dilations=tuple(d for _, d in group), tile_l=1024,
+                        interpret=self.pallas_interpret,
                     )
                     skip_sum = skip_sum + skip
                 else:

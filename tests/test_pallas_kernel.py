@@ -94,3 +94,28 @@ def test_wavenet_pallas_grouped_bf16_interpret(rng_np):
     rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
     assert np.abs(want).max() > 1e-4  # non-vacuous
     assert rel < 0.08, rel  # bf16 accumulation-order spread
+
+
+def test_wavenet_use_pallas_groups_flag(rng_np):
+    """The in-model flag path: same params, bf16, interpret-mode kernel."""
+    import flax
+
+    kw = dict(res_channels=128, skip_channels=128, num_res_layers=4, dilation_cycle=2,
+              diffusion_step_embed_dim_in=8, diffusion_step_embed_dim_mid=16,
+              diffusion_step_embed_dim_out=16, dtype=jnp.bfloat16)
+    base = WaveNet(**kw)
+    grouped = WaveNet(use_pallas_groups=True, pallas_interpret=True, **kw)
+    variables = base.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 2048)), jnp.zeros((1, 1)))
+    assert jax.tree.structure(variables) == jax.tree.structure(
+        grouped.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 2048)), jnp.zeros((1, 1)))
+    )
+    variables = flax.core.unfreeze(variables)
+    fc2 = variables["params"]["final_conv2"]["Conv_0"]
+    fc2["kernel"] = _rand(rng_np, *fc2["kernel"].shape)
+    x = _rand(rng_np, 2, 1, 2048)
+    t = jnp.asarray([[3.0], [7.0]])
+    a = np.asarray(base.apply(variables, x, t))
+    b = np.asarray(grouped.apply(variables, x, t))
+    assert np.abs(a).max() > 1e-4
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
+    assert rel < 0.08, rel
