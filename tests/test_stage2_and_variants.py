@@ -1,0 +1,72 @@
+"""Qin stage-2 imperceptible attack end-to-end + remaining purifier variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_model_for_audio_defense_tpu.attacks import AudioAttack, PsychoacousticMasker
+from diffusion_model_for_audio_defense_tpu.core import linear_schedule
+from diffusion_model_for_audio_defense_tpu.purify import ReDiffWavePurifier
+from diffusion_model_for_audio_defense_tpu.purify.spec import RevImprovedDiffusionPurifier
+
+L = 16000
+NCLS = 4
+
+
+def toy_model(x, rng=None):
+    w = jax.random.normal(jax.random.PRNGKey(42), (L, NCLS)) * 0.2
+    return x[:, 0, :] @ w
+
+
+def test_qin_stage2_end_to_end(rng_np):
+    t = np.linspace(0, 1, L)
+    tone = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.02 * rng_np.standard_normal(L)
+    x = jnp.asarray(np.stack([tone, -tone])[:, None, :].astype(np.float32))
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    atk = AudioAttack(
+        lambda xx, k: toy_model(xx),
+        masker=PsychoacousticMasker(),
+        eps=2000.0,
+        norm="linf",
+        max_iter_1=10,
+        max_iter_2=8,
+        learning_rate_1=400.0,
+        learning_rate_2=50.0,
+        num_iter_increase_alpha=4,
+        num_iter_decrease_alpha=4,
+        verbose=0,
+    )
+    x_adv, (s1, s2) = atk.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(0))
+    assert x_adv.shape == x.shape
+    assert s2 is not None and len(s2) == 2
+    assert np.isfinite(np.asarray(x_adv)).all()
+    # stage-2 output stays in valid range and differs from the input
+    assert float(jnp.abs(x_adv).max()) <= 1.0 + 1e-6
+    assert not np.allclose(np.asarray(x_adv), np.asarray(x))
+
+
+def test_rediffwave_purifier(rng_np):
+    sched = linear_schedule(200)
+    eps_fn = lambda x, t: 0.1 * jnp.tanh(x)
+    p = ReDiffWavePurifier(None, None, sched, reverse_timestep=10, num_re=3)
+    p._eps_fn = eps_fn
+    x = jnp.asarray(rng_np.standard_normal((2, 1, 256)).astype(np.float32) * 0.2)
+    out = p(x, jax.random.PRNGKey(0))
+    assert out.shape == x.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_spec_sde_rand_t(rng_np):
+    model_fn = lambda x, t: 0.05 * jnp.tanh(x)
+    p = RevImprovedDiffusionPurifier(model_fn, t=20, rand_t=True, t_delta=5)
+    spec = jnp.asarray(rng_np.uniform(-90, 30, (1, 1, 32, 32)).astype(np.float32))
+    np.random.seed(0)
+    out = p(spec, jax.random.PRNGKey(1))
+    assert out.shape == spec.shape and np.isfinite(np.asarray(out)).all()
+
+
+def test_sample_step_concatenates(rng_np):
+    model_fn = lambda x, t: 0.05 * jnp.tanh(x)
+    p = RevImprovedDiffusionPurifier(model_fn, t=5, sample_step=2)
+    spec = jnp.asarray(rng_np.uniform(-90, 30, (1, 1, 32, 32)).astype(np.float32))
+    out = p(spec, jax.random.PRNGKey(2))
+    assert out.shape == (2, 1, 32, 32)  # reference concatenates sample_step outputs
