@@ -357,8 +357,16 @@ def save_pytree(path: str, tree) -> None:
     ckptr.save(path, tree)
 
 
-def load_pytree(path: str):
+def load_pytree(path: str, target=None):
+    """Restore an orbax checkpoint.
+
+    ``target``: optional pytree giving the structure (and namedtuple/custom
+    node types) to restore into — required to round-trip optax optimizer
+    states, whose namedtuple nodes would otherwise come back as plain dicts.
+    """
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    return ckptr.restore(os.path.abspath(path))
+    if target is None:
+        return ckptr.restore(os.path.abspath(path))
+    return ckptr.restore(os.path.abspath(path), item=target)

@@ -127,8 +127,16 @@ class DiffWaveTrainer:
         )
 
     def _try_resume(self) -> int:
-        """find_max_epoch-style resume (reference ``util.py:21-43``)."""
+        """find_max_epoch-style resume (reference ``util.py:21-43``).
+
+        Restores the FULL train state — params, Adam moments, PRNG — matching
+        the reference's ``{model_state_dict, optimizer_state_dict}`` round
+        trip (``train.py:82-101,131-136``). Older params-only checkpoints
+        still load (optimizer state re-initialized).
+        """
         import os
+
+        import numpy as np
 
         if not os.path.isdir(self.output_directory):
             return 0
@@ -136,11 +144,26 @@ class DiffWaveTrainer:
         if not iters:
             return 0
         it = max(iters)
+        path = os.path.join(self.output_directory, f"ckpt_{it}")
         try:
-            state = self._load(os.path.join(self.output_directory, f"ckpt_{it}"))
-            self.params = state["params"]
-            self.opt_state = self.opt.init(self.params)  # opt state layout may change across versions
-            print(f"resumed from iteration {it}")
+            raw = self._load(path)
+            if isinstance(raw, dict) and "opt_state" in raw:
+                state = self._load(
+                    path,
+                    target={
+                        "params": self.params,
+                        "opt_state": self.opt_state,
+                        "rng": np.asarray(self.rng),
+                    },
+                )
+                self.params = state["params"]
+                self.opt_state = state["opt_state"]
+                self.rng = jnp.asarray(state["rng"])
+                print(f"resumed from iteration {it} (params+opt+rng)")
+            else:
+                self.params = raw["params"]
+                self.opt_state = self.opt.init(self.params)
+                print(f"resumed from iteration {it} (params only; fresh optimizer)")
             return it
         except Exception as e:  # mirror the reference's tolerant resume (train.py:96-98)
             print(f"resume failed ({e}); starting fresh")
@@ -149,8 +172,13 @@ class DiffWaveTrainer:
     def save_checkpoint(self):
         import os
 
+        import numpy as np
+
         os.makedirs(self.output_directory, exist_ok=True)
-        self._save(os.path.join(self.output_directory, f"ckpt_{self.n_iter}"), {"params": self.params})
+        self._save(
+            os.path.join(self.output_directory, f"ckpt_{self.n_iter}"),
+            {"params": self.params, "opt_state": self.opt_state, "rng": np.asarray(self.rng)},
+        )
 
     def train(self, data_iter, max_iters: Optional[int] = None):
         end = min(self.n_iters, self.n_iter + max_iters) if max_iters else self.n_iters

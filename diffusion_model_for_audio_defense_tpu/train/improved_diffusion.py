@@ -83,6 +83,8 @@ class TrainLoop:
         )
         self.opt_state = self.opt.init(self.params)
         self.ema_params = [jax.tree.map(lambda p: p, self.params) for _ in self.ema_rate]
+        if self.step > 0:
+            self._restore_opt_ema()
 
         n_micro = self.batch_size // self.microbatch
         model_fn_of = lambda params: (lambda x, t: model.apply(params, x, t))
@@ -153,12 +155,41 @@ class TrainLoop:
             print(f"resume discovery failed ({e}); starting fresh")
             return None, 0
 
+    def _restore_opt_ema(self):
+        """Re-load optimizer state, EMA averages and PRNG found next to the
+        resumed model checkpoint (reference ``train_util.py:114-142``).
+        Without this a restarted run silently resets Adam moments and EMA."""
+        from ..core.checkpoint import load_pytree
+
+        opt_path = os.path.join(self.save_dir, f"opt{self.step:06d}")
+        if os.path.isdir(opt_path):
+            try:
+                state = load_pytree(
+                    opt_path, target={"opt_state": self.opt_state, "rng": np.asarray(self.rng)}
+                )
+                self.opt_state = state["opt_state"]
+                self.rng = jnp.asarray(state["rng"])
+                print(f"restored optimizer state from {opt_path}")
+            except Exception as e:
+                print(f"optimizer resume failed ({e}); fresh optimizer state")
+        for i, rate in enumerate(self.ema_rate):
+            ema_path = os.path.join(self.save_dir, f"ema_{rate}_{self.step:06d}")
+            if os.path.isdir(ema_path):
+                try:
+                    self.ema_params[i] = load_pytree(ema_path, target=self.params)
+                    print(f"restored EMA {rate} from {ema_path}")
+                except Exception as e:
+                    print(f"EMA resume failed ({e}); EMA restarted from params")
+
     def save(self):
         os.makedirs(self.save_dir, exist_ok=True)
         save_pytree(os.path.join(self.save_dir, f"model{self.step:06d}"), self.params)
         for rate, ema in zip(self.ema_rate, self.ema_params):
             save_pytree(os.path.join(self.save_dir, f"ema_{rate}_{self.step:06d}"), ema)
-        save_pytree(os.path.join(self.save_dir, f"opt{self.step:06d}"), self.opt_state)
+        save_pytree(
+            os.path.join(self.save_dir, f"opt{self.step:06d}"),
+            {"opt_state": self.opt_state, "rng": np.asarray(self.rng)},
+        )
 
     def run_loop(self, max_steps: Optional[int] = None):
         while (not self.lr_anneal_steps or self.step < self.lr_anneal_steps) and (
