@@ -308,6 +308,50 @@ class GaussianDiffusion:
         terms["loss"] = terms["mse"] + terms["vb"] if "vb" in terms else terms["mse"]
         return terms
 
+    # ------------------------------------------------------------- NLL eval
+
+    def _prior_bpd(self, x_start):
+        """Prior KL term of the VLB in bits/dim (reference ``:752-768``)."""
+        bsz = x_start.shape[0]
+        t = jnp.full((bsz,), self.num_timesteps - 1)
+        qt_mean, _, qt_logvar = self.q_mean_variance(x_start, t)
+        kl = normal_kl(qt_mean, qt_logvar, 0.0, 0.0)
+        return kl.reshape(bsz, -1).mean(axis=1) / np.log(2.0)
+
+    def calc_bpd_loop(self, model_fn, x_start, rng, clip_denoised: bool = True):
+        """Full variational lower-bound in bits/dim (reference ``:771-826``).
+
+        The reference's Python loop over t = T-1 … 0 becomes a ``lax.scan``;
+        rows of the returned (N, T) arrays are ordered t = T-1 first, like
+        the reference's stacking order. Returns ``total_bpd``, ``prior_bpd``,
+        ``vb``, ``xstart_mse``, ``mse``.
+        """
+        bsz = x_start.shape[0]
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        keys = jax.random.split(rng, self.num_timesteps)
+
+        def body(carry, inp):
+            t, key = inp
+            tb = jnp.full((bsz,), t)
+            noise = jax.random.normal(key, x_start.shape, dtype=x_start.dtype)
+            x_t = self.q_sample(x_start, tb, noise)
+            out = self._vb_terms_bpd(model_fn, x_start, x_t, tb, clip_denoised)
+            xstart_mse = ((out["pred_xstart"] - x_start) ** 2).reshape(bsz, -1).mean(axis=1)
+            eps = self._predict_eps_from_xstart(x_t, tb, out["pred_xstart"])
+            mse = ((eps - noise) ** 2).reshape(bsz, -1).mean(axis=1)
+            return carry, (out["output"], xstart_mse, mse)
+
+        _, (vb, xstart_mse, mse) = jax.lax.scan(body, 0.0, (ts, keys))
+        vb, xstart_mse, mse = (jnp.swapaxes(a, 0, 1) for a in (vb, xstart_mse, mse))
+        prior_bpd = self._prior_bpd(x_start)
+        return {
+            "total_bpd": vb.sum(axis=1) + prior_bpd,
+            "prior_bpd": prior_bpd,
+            "vb": vb,
+            "xstart_mse": xstart_mse,
+            "mse": mse,
+        }
+
 
 def create_gaussian_diffusion(
     steps: int = 200,

@@ -140,6 +140,11 @@ class RevDiffWavePurifier:
 
     def __call__(self, x, rng):
         t_star = self.t
-        if self.rand_t:  # host-side jitter, like the reference's np.random.randint
-            t_star = self.t + int(np.random.randint(-self.t_delta, self.t_delta))
+        if self.rand_t:
+            # t* jitter (reference diffwave_sde.py:182-189). Drawn from the
+            # threaded key, not the global RNG, so runs are reproducible.
+            # t* fixes the static Euler grid, so the draw concretizes on the
+            # host — rand_t therefore needs a concrete (eager) key.
+            rng, k = jax.random.split(rng)
+            t_star = self.t + int(jax.random.randint(k, (), -self.t_delta, self.t_delta))
         return vpsde_purify(self.eps_fn, self.schedule, x, t_star, rng, sample_step=self.sample_step, remat=self.remat)

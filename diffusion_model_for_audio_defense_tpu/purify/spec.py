@@ -127,7 +127,10 @@ class RevImprovedDiffusionPurifier:
         outs = []
         t_star = self.t
         if self.rand_t:
-            t_star = self.t + int(np.random.randint(-self.t_delta, self.t_delta))
+            # t* jitter from the threaded key (reproducible); concretized on
+            # the host because t* selects the static reverse grid.
+            rng, k = jax.random.split(rng)
+            t_star = self.t + int(jax.random.randint(k, (), -self.t_delta, self.t_delta))
         for key in jax.random.split(rng, self.sample_step):
             k1, k2 = jax.random.split(key)
             e = jax.random.normal(k1, x0.shape, dtype=x0.dtype)

@@ -170,3 +170,76 @@ def test_spec_purifiers_run(rng_np):
     # gradient through the spec purifier (spec-domain adaptive attacks)
     g = jax.grad(lambda s: jnp.sum(sde(s, jax.random.PRNGKey(3)) ** 2))(spec)
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_calc_bpd_loop_matches_torch_math(rng_np):
+    """NLL eval loop (reference gaussian_diffusion.py:752-826) against an
+    independent float64 torch recomputation with the same injected noise."""
+    import torch
+
+    from diffusion_model_for_audio_defense_tpu.purify.diffusion_math import (
+        GaussianDiffusion,
+        get_named_beta_schedule,
+    )
+
+    T = 50
+    d = GaussianDiffusion(betas=get_named_beta_schedule("linear", T),
+                          model_mean_type="eps", model_var_type="fixed_small",
+                          loss_type="mse")
+    x0 = jnp.asarray(rng_np.uniform(-0.9, 0.9, (2, 1, 4, 4)).astype(np.float32))
+    model_fn = lambda x, t: 0.1 * x
+    rng = jax.random.PRNGKey(0)
+    res = d.calc_bpd_loop(model_fn, x0, rng, clip_denoised=True)
+
+    # --- torch float64 golden with identical noise draws
+    keys = jax.random.split(rng, T)
+    noises = [np.asarray(jax.random.normal(k, x0.shape, jnp.float32)) for k in keys]
+    betas = torch.from_numpy(np.asarray(d.betas))
+    alphas = 1.0 - betas
+    acp = torch.cumprod(alphas, 0)
+    acp_prev = torch.cat([torch.ones(1, dtype=torch.float64), acp[:-1]])
+    post_var = betas * (1 - acp_prev) / (1 - acp)
+    post_logvar = torch.log(torch.cat([post_var[1:2], post_var[1:]]))
+    pm1 = betas * torch.sqrt(acp_prev) / (1 - acp)
+    pm2 = (1 - acp_prev) * torch.sqrt(alphas) / (1 - acp)
+    xt0 = torch.from_numpy(np.asarray(x0, np.float64))
+
+    def mean_flat(v):
+        return v.reshape(v.shape[0], -1).mean(dim=1)
+
+    def cdf(v):
+        return 0.5 * (1.0 + torch.tanh(np.sqrt(2.0 / np.pi) * (v + 0.044715 * v**3)))
+
+    vb_g, xmse_g, mse_g = [], [], []
+    for i, t in enumerate(range(T - 1, -1, -1)):
+        z = torch.from_numpy(noises[i].astype(np.float64))
+        x_t = torch.sqrt(acp[t]) * xt0 + torch.sqrt(1 - acp[t]) * z
+        eps_hat = 0.1 * x_t
+        pred_x0 = (torch.sqrt(1.0 / acp[t]) * x_t - torch.sqrt(1.0 / acp[t] - 1) * eps_hat).clamp(-1, 1)
+        model_mean = pm1[t] * pred_x0 + pm2[t] * x_t
+        true_mean = pm1[t] * xt0 + pm2[t] * x_t
+        lv = post_logvar[t]
+        kl = mean_flat(0.5 * (-1.0 + lv - lv + torch.exp(lv - lv) + (true_mean - model_mean) ** 2 * torch.exp(-lv))) / np.log(2.0)
+        inv_std = torch.exp(-0.5 * lv)
+        cdf_plus = cdf(inv_std * (xt0 - model_mean + 1 / 255.0))
+        cdf_min = cdf(inv_std * (xt0 - model_mean - 1 / 255.0))
+        ll = torch.where(
+            xt0 < -0.999, torch.log(cdf_plus.clamp(min=1e-12)),
+            torch.where(xt0 > 0.999, torch.log((1 - cdf_min).clamp(min=1e-12)),
+                        torch.log((cdf_plus - cdf_min).clamp(min=1e-12))))
+        nll = -mean_flat(ll) / np.log(2.0)
+        vb_g.append(nll if t == 0 else kl)
+        xmse_g.append(mean_flat((pred_x0 - xt0) ** 2))
+        eps_back = (torch.sqrt(1.0 / acp[t]) * x_t - pred_x0) / torch.sqrt(1.0 / acp[t] - 1)
+        mse_g.append(mean_flat((eps_back - z) ** 2))
+    vb_g = torch.stack(vb_g, 1)
+    # normal_kl(q_mean, q_logvar, 0, 0) = 0.5*(-1 - q_logvar + exp(q_logvar) + q_mean^2)
+    q_logvar = torch.log(1 - acp[T - 1])
+    prior_g = mean_flat(0.5 * (-1.0 - q_logvar + torch.exp(q_logvar) + acp[T - 1] * xt0**2)) / np.log(2.0)
+    total_g = vb_g.sum(1) + prior_g
+
+    np.testing.assert_allclose(np.asarray(res["vb"]), vb_g.numpy(), atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(res["xstart_mse"]), torch.stack(xmse_g, 1).numpy(), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(res["mse"]), torch.stack(mse_g, 1).numpy(), atol=1e-3, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(res["prior_bpd"]), prior_g.numpy(), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(res["total_bpd"]), total_g.numpy(), atol=5e-3, rtol=1e-3)

@@ -70,3 +70,27 @@ def test_sample_step_concatenates(rng_np):
     spec = jnp.asarray(rng_np.uniform(-90, 30, (1, 1, 32, 32)).astype(np.float32))
     out = p(spec, jax.random.PRNGKey(2))
     assert out.shape == (2, 1, 32, 32)  # reference concatenates sample_step outputs
+
+
+def test_rand_t_keyed_and_reproducible(rng_np):
+    """rand_t draws its jitter from the threaded key (repo PRNG convention),
+    not numpy's global RNG: same key => same output, global seed irrelevant."""
+    from diffusion_model_for_audio_defense_tpu.purify.sde import RevDiffWavePurifier
+
+    model_fn = lambda x, t: 0.05 * jnp.tanh(x)
+    p = RevImprovedDiffusionPurifier(model_fn, t=20, rand_t=True, t_delta=5)
+    spec = jnp.asarray(rng_np.uniform(-90, 30, (1, 1, 32, 32)).astype(np.float32))
+    np.random.seed(0)
+    o1 = p(spec, jax.random.PRNGKey(7))
+    np.random.seed(12345)  # must not matter
+    o2 = p(spec, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=0)
+
+    eps_fn = lambda x, t: 0.05 * jnp.tanh(x)
+    w = RevDiffWavePurifier.from_eps_fn(eps_fn, t=10, rand_t=True, t_delta=4)
+    xw = jnp.asarray(rng_np.standard_normal((1, 1, 256)).astype(np.float32) * 0.1)
+    np.random.seed(0)
+    w1 = w(xw, jax.random.PRNGKey(3))
+    np.random.seed(999)
+    w2 = w(xw, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=0)
