@@ -8,6 +8,7 @@ batch_size=1 per-utterance eval, variable-length audio).
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +18,7 @@ import numpy as np
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("--data_path", default="datasets/qualcomm_keyword_speech_dataset")
-    p.add_argument("--classifier_path", type=str, default=None, help="KWS checkpoint (orbax dir)")
+    p.add_argument("--classifier_path", type=str, default=None, help="KWS checkpoint (orbax dir or torch .pth)")
     p.add_argument("--classifier_type", type=str, choices=["advtr", "vanilla"], default="vanilla")
     p.add_argument("--ddpm_config", type=str, default="configs/config.json")
     p.add_argument("--ddpm_path", type=str, default=None)
@@ -56,7 +57,12 @@ def main(argv=None):
     from ..transforms import Compose, FixAudioLength, LoadAudio
 
     model = KWSModel(in_size=32, num_classes=4)
-    if args.classifier_path:
+    if args.classifier_path and not os.path.isdir(args.classifier_path):
+        # reference torch state dicts (kws_adaptive_attack_eval.py:82-95)
+        from ..core.checkpoint import load_classifier_checkpoint
+
+        variables = load_classifier_checkpoint(args.classifier_path, "rcnn_kws")
+    elif args.classifier_path:
         variables = load_pytree(args.classifier_path)
     else:
         import sys

@@ -202,16 +202,124 @@ def convert_m5_state_dict(sd: Mapping) -> dict:
     return {"params": jax.tree.map(np.asarray, params), "batch_stats": jax.tree.map(np.asarray, stats)}
 
 
+def _gru_cell_params(sd: Mapping, layer: int, reverse: bool, prefix: str = "CRNN_model.gru") -> dict:
+    """One torch GRU direction-layer → flax ``nn.GRUCell`` params.
+
+    torch stacks gates r|z|n in ``weight_ih_l{k}``/``weight_hh_l{k}`` and
+    keeps separate input/hidden biases; flax GRUCell has per-gate Dense
+    layers where the r/z hidden biases fold into the input bias
+    (σ(Wx+bi + Wh+bh) = σ(Wx + Wh + (bi+bh))) while b_hn must stay on the
+    ``hn`` dense — it sits inside the reset-gate product
+    ``n = tanh(W_in x + b_in + r ⊙ (W_hn h + b_hn))`` in both frameworks.
+    """
+    sfx = f"l{layer}" + ("_reverse" if reverse else "")
+    W_ih = _np(sd[f"{prefix}.weight_ih_{sfx}"]).astype(np.float32)  # (3H, in)
+    W_hh = _np(sd[f"{prefix}.weight_hh_{sfx}"]).astype(np.float32)  # (3H, H)
+    b_ih = _np(sd[f"{prefix}.bias_ih_{sfx}"]).astype(np.float32)
+    b_hh = _np(sd[f"{prefix}.bias_hh_{sfx}"]).astype(np.float32)
+    H = W_hh.shape[1]
+    g = lambda a, i: a[i * H:(i + 1) * H]
+    return {
+        "ir": {"kernel": np.ascontiguousarray(g(W_ih, 0).T), "bias": g(b_ih, 0) + g(b_hh, 0)},
+        "iz": {"kernel": np.ascontiguousarray(g(W_ih, 1).T), "bias": g(b_ih, 1) + g(b_hh, 1)},
+        "in": {"kernel": np.ascontiguousarray(g(W_ih, 2).T), "bias": g(b_ih, 2)},
+        "hr": {"kernel": np.ascontiguousarray(g(W_hh, 0).T)},
+        "hz": {"kernel": np.ascontiguousarray(g(W_hh, 1).T)},
+        "hn": {"kernel": np.ascontiguousarray(g(W_hh, 2).T), "bias": g(b_hh, 2)},
+    }
+
+
+def convert_kws_state_dict(sd: Mapping, gru_num_layers: int = 2) -> dict:
+    """Reference RCNN-KWS ``KWSModel`` state dict → Flax ``KWSModel`` params
+    (``audio_models/RCNN_KWS/model.py:66-114``): sepconv depthwise/pointwise,
+    2-layer bidirectional GRU (cells in flax creation order: l0 fwd, l0 bwd,
+    l1 fwd, l1 bwd), tanh attention (Wx_b/Vt) and output head U."""
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v for k, v in sd.items()}
+    params = {
+        "depthwise": _conv1d(sd, "CRNN_model.sepconv.0"),
+        "pointwise": _conv1d(sd, "CRNN_model.sepconv.1"),
+        "attn_w": _dense(sd, "attn_layer.Wx_b"),
+        "attn_v": _dense(sd, "attn_layer.Vt"),
+        "attn_u": _dense(sd, "apply_attn.U"),
+    }
+    gru = {}
+    idx = 0
+    for layer in range(gru_num_layers):
+        for reverse in (False, True):
+            gru[f"GRUCell_{idx}"] = _gru_cell_params(sd, layer, reverse)
+            idx += 1
+    params["gru"] = gru
+    return {"params": jax.tree.map(np.asarray, params)}
+
+
+def _tolerant_torch_load(path: str):
+    """``torch.load`` that survives full-model pickles whose class modules
+    are not importable (the reference saves whole models —
+    ``torch.save(model, ...)``, ``M5/train.py:150-152`` — and loads them with
+    ``create_model.py:8-16``, which needs the original sources on sys.path).
+
+    Missing classes are replaced by state-capturing stubs; tensors are real
+    (torch's tensor/Parameter types are always importable), so the module
+    graph can be walked to recover the flat state dict."""
+    import pickle
+
+    import torch
+
+    class _Stub:
+        def __setstate__(self, state):
+            if isinstance(state, dict):
+                self.__dict__.update(state)
+            elif isinstance(state, tuple):  # (dict, slots) protocol
+                for part in state:
+                    if isinstance(part, dict):
+                        self.__dict__.update(part)
+
+    class _TolerantUnpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            try:
+                return super().find_class(module, name)
+            except (ImportError, AttributeError):
+                return type(name, (_Stub,), {"__module__": module})
+
+    class _ShimModule:
+        Unpickler = _TolerantUnpickler
+        load = staticmethod(pickle.load)
+
+    return torch.load(path, map_location="cpu", weights_only=False, pickle_module=_ShimModule)
+
+
+def _extract_module_state_dict(obj, prefix: str = "") -> dict:
+    """Walk a (possibly stubbed) nn.Module object graph → flat state dict."""
+    d = getattr(obj, "__dict__", {})
+    sd = {}
+    for k, v in (d.get("_parameters") or {}).items():
+        if v is not None:
+            sd[prefix + k] = v
+    for k, v in (d.get("_buffers") or {}).items():
+        if v is not None:
+            sd[prefix + k] = v
+    for k, sub in (d.get("_modules") or {}).items():
+        sd.update(_extract_module_state_dict(sub, prefix + k + "."))
+    return sd
+
+
 def load_classifier_checkpoint(path: str, model_name: str = "resnext29_8_64") -> dict:
     """Load a torch classifier checkpoint and convert.
 
-    Handles state-dict files and ``{'state_dict': ...}`` wrappers; the
-    reference's full-model pickles (``torch.save(model, ...)``) need the
-    original class module and must be re-exported as state dicts first.
+    Handles state-dict files, ``{'state_dict': ...}`` wrappers, and the
+    reference's full-model pickles (incl. DataParallel-wrapped ones) even
+    when the original class modules are unavailable.
     """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except (ModuleNotFoundError, AttributeError):
+        stub = _tolerant_torch_load(path)
+        sd = _extract_module_state_dict(stub)
+        if not sd:
+            raise ValueError(f"could not recover a state dict from {path}")
+        obj = sd
     if hasattr(obj, "state_dict"):
         sd = obj.state_dict()
     elif isinstance(obj, dict) and "state_dict" in obj:
@@ -224,6 +332,8 @@ def load_classifier_checkpoint(path: str, model_name: str = "resnext29_8_64") ->
         return convert_resnext_state_dict(sd)
     if model_name == "m5":
         return convert_m5_state_dict(sd)
+    if model_name in ("rcnn_kws", "kws", "attn_rcnn"):
+        return convert_kws_state_dict(sd)
     raise NotImplementedError(f"no converter for {model_name} yet; use a native orbax checkpoint")
 
 
