@@ -102,6 +102,34 @@ def make_smoothed_counts_fn(
         (counts, _), _ = jax.lax.scan(chunk, (counts0, key), jnp.arange(chunks_per_dev))
         return jax.lax.psum(counts, axis)
 
+    def _device_counts_batch(chunks_per_dev, chunks_per_utt, n_utt,
+                             x_all, sigma, t_star, sqrt_abar_star, rng, n_arr):
+        # batched n0-selection pass: the scan walks (utterance, chunk) pairs so
+        # a whole batch of utterances costs ONE host round-trip instead of one
+        # per utterance (VERDICT r1 #9). x_all (Bu,1,L) replicated.
+        didx = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(rng, didx)
+        n = n_arr[0]
+
+        def chunk(carry, ck):
+            counts, key = carry  # (Bu, C)
+            g = didx * chunks_per_dev + ck
+            u = jnp.minimum(g // chunks_per_utt, n_utt - 1)
+            j = g % chunks_per_utt
+            key, k1 = jax.random.split(key)
+            xi = jax.lax.dynamic_index_in_dim(x_all, u, axis=0, keepdims=False)
+            x_rep = jnp.broadcast_to(xi, (batch_size,) + xi.shape)
+            delta = sigma * jax.random.normal(k1, x_rep.shape, dtype=x_rep.dtype)
+            preds = _predict(x_rep + delta, t_star, sqrt_abar_star)
+            valid = (j * batch_size + jnp.arange(batch_size) < n) & (
+                g < n_utt * chunks_per_utt)
+            onehot = jax.nn.one_hot(preds, num_classes, dtype=jnp.int32) * valid[:, None].astype(jnp.int32)
+            return (counts.at[u].add(onehot.sum(axis=0)), key), None
+
+        counts0 = jnp.zeros((n_utt, num_classes), dtype=jnp.int32)
+        (counts, _), _ = jax.lax.scan(chunk, (counts0, key), jnp.arange(chunks_per_dev))
+        return jax.lax.psum(counts, axis)
+
     _sharded_cache = {}
 
     def counts_fn(x, sigma, t_star, sqrt_abar_star, n: int, rng):
@@ -121,6 +149,29 @@ def make_smoothed_counts_fn(
         n_arr = jnp.asarray([n], jnp.int32)
         return _sharded_cache[chunks_per_dev](x, sigma, t_star, sqrt_abar_star, rng, n_arr)
 
+    _batch_cache = {}
+
+    def counts_batch_fn(x_all, sigma, t_star, sqrt_abar_star, n: int, rng):
+        n_utt = x_all.shape[0]
+        chunks_per_utt = max(1, math.ceil(n / batch_size))
+        chunks_per_dev = max(1, math.ceil(n_utt * chunks_per_utt / ndev))
+        sig = (chunks_per_dev, chunks_per_utt, n_utt)
+        if sig not in _batch_cache:
+            fn = shard_map(
+                partial(_device_counts_batch, *sig),
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+            _batch_cache[sig] = jax.jit(fn)
+        sigma = jnp.asarray(sigma, jnp.float32)
+        t_star = jnp.asarray(t_star, jnp.int32)
+        sqrt_abar_star = jnp.asarray(sqrt_abar_star, jnp.float32)
+        n_arr = jnp.asarray([n], jnp.int32)
+        return _batch_cache[sig](x_all, sigma, t_star, sqrt_abar_star, rng, n_arr)
+
+    counts_fn.batch = counts_batch_fn
     return counts_fn
 
 
@@ -161,6 +212,19 @@ class RandomizedSmoothing:
         counts = self._counts_fn(x, sigma, t_star, sqrt_abar_star, num_sampling, rng)
         return np.asarray(counts)
 
+    def smooth_predict_batch(self, x, num_sampling: int, sigma: float, rng) -> np.ndarray:
+        """Counts for a whole batch of utterances ``x (Bu,1,L)`` in ONE sharded
+        call — used for the cheap n0 selection pass so small-N work doesn't pay
+        a host round-trip per utterance."""
+        if self.schedule is not None:
+            abar_star = 1.0 / (1.0 + sigma**2)
+            t_star = self.compute_t_star(abar_star)
+            sqrt_abar_star = abar_star**0.5
+        else:
+            t_star, sqrt_abar_star = 1, 1.0
+        counts = self._counts_fn.batch(x, sigma, t_star, sqrt_abar_star, num_sampling, rng)
+        return np.asarray(counts)
+
     def lower_conf_bound(self, k, n, alpha: float = 0.001) -> float:
         return clopper_pearson_lower(k, n, alpha)
 
@@ -179,11 +243,12 @@ class RandomizedSmoothing:
         bsz = x.shape[0]
         y_pred = -np.ones(bsz, dtype=np.int64)
         radius = np.zeros(bsz, dtype=np.float32)
+        rng, k0 = jax.random.split(rng)
+        counts0_all = self.smooth_predict_batch(x, n_0, sigma, k0)
         for i in range(bsz):
-            rng, k0, k1 = jax.random.split(rng, 3)
+            rng, k1 = jax.random.split(rng)
             xi = x[i : i + 1]
-            counts0 = self.smooth_predict(xi, n_0, sigma, k0)
-            c_a = int(counts0.argmax())
+            c_a = int(counts0_all[i].argmax())
             counts = self.smooth_predict(xi, n, sigma, k1)
             pa = self.lower_conf_bound(int(counts[c_a]), n, alpha)
             if pa > 0.5:

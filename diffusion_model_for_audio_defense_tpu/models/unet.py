@@ -191,6 +191,50 @@ class UNetModel(nn.Module):
         return jnp.transpose(h, (0, 3, 1, 2))  # NHWC → NCHW
 
 
+class SuperResModel(nn.Module):
+    """UNet that super-resolves: conditions on a bilinear-upsampled low-res
+    image concatenated on the channel dim (reference
+    ``improved_diffusion/unet.py:525-547``). Parameters live at the same
+    tree paths as a plain ``UNetModel`` with ``in_channels`` doubled, so the
+    torch converter applies unchanged."""
+
+    in_channels: int = 1
+    model_channels: int = 128
+    out_channels: int = 1
+    num_res_blocks: int = 3
+    attention_resolutions: Tuple[int, ...] = (2, 4)
+    dropout: float = 0.0
+    channel_mult: Tuple[int, ...] = (1, 2, 2, 2)
+    conv_resample: bool = True
+    num_heads: int = 4
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = True
+
+    def setup(self):
+        unet = UNetModel(
+            in_channels=self.in_channels * 2,
+            model_channels=self.model_channels,
+            out_channels=self.out_channels,
+            num_res_blocks=self.num_res_blocks,
+            attention_resolutions=self.attention_resolutions,
+            dropout=self.dropout,
+            channel_mult=self.channel_mult,
+            conv_resample=self.conv_resample,
+            num_heads=self.num_heads,
+            num_heads_upsample=self.num_heads_upsample,
+            use_scale_shift_norm=self.use_scale_shift_norm,
+        )
+        self._unet = unet
+        nn.share_scope(self, self._unet)
+
+    def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray,
+                 low_res: jnp.ndarray = None, train: bool = False) -> jnp.ndarray:
+        B, C, H, W = x.shape
+        up = jax.image.resize(
+            low_res.astype(x.dtype), (B, low_res.shape[1], H, W), method="bilinear")
+        return self._unet(jnp.concatenate([x, up], axis=1), timesteps, train)
+
+
 def create_unet(
     image_size: int = 32,
     num_channels: int = 128,

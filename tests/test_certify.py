@@ -94,3 +94,28 @@ def test_sigma_sweep_single_compile():
     for sigma in (0.25, 0.5, 1.0):
         counts_fn(x, sigma, 1, 1.0, 256, jax.random.PRNGKey(4))
     assert calls["n"] == 1  # traced once, reused for every σ
+
+
+def test_counts_batch_matches_per_utterance_stats():
+    """Batched n0 pass: exact-n per row, and each row matches its utterance."""
+    counts_fn = make_smoothed_counts_fn(
+        _margin_classifier, None, None, None, num_classes=2, batch_size=16
+    )
+    x = jnp.stack([jnp.full((1, 64), 0.8), jnp.full((1, 64), -0.8), jnp.full((1, 64), 0.8)])
+    n0 = 100  # not divisible by batch -> exercises per-utterance masking
+    counts = np.asarray(counts_fn.batch(x, 0.25, 1, 1.0, n0, jax.random.PRNGKey(5)))
+    assert counts.shape == (3, 2)
+    assert (counts.sum(axis=1) == n0).all()
+    assert counts[0, 0] > 95 and counts[1, 1] > 95 and counts[2, 0] > 95
+
+
+def test_counts_batch_draw_count_odd_shapes():
+    # 5 utterances x 3 chunks = 15 chunks over 8 devices (uneven split)
+    counts_fn = make_smoothed_counts_fn(
+        _margin_classifier, None, None, None, num_classes=2, batch_size=16
+    )
+    x = jnp.full((5, 1, 64), 0.5)
+    counts = np.asarray(counts_fn.batch(x, 0.25, 1, 1.0, 40, jax.random.PRNGKey(6)))
+    assert counts.shape == (5, 2)
+    assert (counts.sum(axis=1) == 40).all()
+    assert (counts[:, 0] > 35).all()

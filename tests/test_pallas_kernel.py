@@ -119,3 +119,79 @@ def test_wavenet_use_pallas_groups_flag(rng_np):
     assert np.abs(a).max() > 1e-4
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     assert rel < 0.08, rel
+
+
+def test_fused_group_stack_matches_reference_interpret(rng_np):
+    """Round-2 stack kernel: in-kernel skip accumulation + row-split pipeline."""
+    from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_group import (
+        reference_residual_group,
+    )
+    from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_stack import (
+        fused_group_stack,
+    )
+
+    B, L, C, G = 2, 2000, 128, 4
+    h = _rand(rng_np, B, L, C)
+    skip0 = _rand(rng_np, B, L, C)  # nonzero running accumulator
+    tb = _rand(rng_np, G, B, C)
+    wd = _rand(rng_np, G, 3, C, 2 * C, scale=0.05)
+    bd = _rand(rng_np, G, 2 * C)
+    wrs = _rand(rng_np, G, C, 2 * C, scale=0.05)
+    brs = _rand(rng_np, G, 2 * C)
+    for dils, nsplit in [((1, 2, 4, 8), 2), ((16, 32, 64, 128), 1), ((512, 256, 2, 4), 3)]:
+        got_h, got_s = fused_group_stack(
+            h, skip0, tb, wd, bd, wrs, brs, dilations=dils, tile_l=1024,
+            nsplit=nsplit, interpret=True,
+        )
+        want_h, want_s = reference_residual_group(h, tb, wd, bd, wrs, brs, dils)
+        np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h), atol=5e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(skip0 + want_s), atol=5e-4, rtol=1e-3
+        )
+
+
+def test_stack_partition_plans():
+    from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_stack import (
+        stack_partition,
+    )
+
+    dils = [2 ** (n % 12) for n in range(36)]
+    parts = stack_partition(dils)
+    # covers 0..36 contiguously
+    assert parts[0][0] == 0 and parts[-1][1] == 36
+    assert all(a[1] == b[0] for a, b in zip(parts, parts[1:]))
+    # measured-best plan: ALL singletons (zero halo overcompute),
+    # big tile only where H=2048 forces it
+    assert len(parts) == 36
+    for s, e, tl in parts:
+        assert e - s == 1
+        assert tl == (2048 if dils[s] >= 2048 else 1024)
+    # greedy fallback for non-production sequences
+    parts2 = stack_partition([1, 2, 4, 8, 16])
+    assert parts2[0][0] == 0 and parts2[-1][1] == 5
+
+
+def test_wavenet_apply_stack_matches_flax(rng_np):
+    from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_stack import (
+        wavenet_apply_stack,
+    )
+
+    model = WaveNet(res_channels=128, skip_channels=128, num_res_layers=4, dilation_cycle=2,
+                    diffusion_step_embed_dim_in=8, diffusion_step_embed_dim_mid=16,
+                    diffusion_step_embed_dim_out=16)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 2048)), jnp.zeros((1, 1)))
+    import flax
+
+    variables = flax.core.unfreeze(variables)
+    fc2 = variables["params"]["final_conv2"]["Conv_0"]
+    fc2["kernel"] = _rand(rng_np, *fc2["kernel"].shape)
+    fc2["bias"] = _rand(rng_np, *fc2["bias"].shape)
+    x = _rand(rng_np, 2, 1, 2048)
+    t = jnp.asarray([[3.0], [7.0]])
+    want = np.asarray(model.apply(variables, x, t))
+    got = np.asarray(
+        wavenet_apply_stack(variables, x, t, num_res_layers=4, dilation_cycle=2,
+                            dtype=jnp.float32, interpret=True)
+    )
+    assert np.abs(want).max() > 1e-4
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
