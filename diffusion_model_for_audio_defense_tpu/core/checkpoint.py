@@ -252,6 +252,110 @@ def convert_kws_state_dict(sd: Mapping, gru_num_layers: int = 2) -> dict:
     return {"params": jax.tree.map(np.asarray, params)}
 
 
+def convert_vgg_state_dict(sd: Mapping, cfg: str = "E") -> dict:
+    """Reference VGG (torchvision-derived, ``models/vgg.py``) state dict →
+    Flax ``VGG`` params. Sequential ``features.{i}`` indices advance 3 per
+    conv-BN-ReLU triple and 1 per maxpool; the head is ``classifier.{0,3,6}``."""
+    from ..models.vgg import _CFG
+
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v for k, v in sd.items()}
+    params, stats = {}, {}
+    seq, conv_i = 0, 0
+    for v in _CFG[cfg]:
+        if v == "M":
+            seq += 1
+            continue
+        params[f"conv_{conv_i}"] = _conv2d(sd, f"features.{seq}")
+        bnp, bns = _batchnorm(sd, f"features.{seq + 1}")
+        params[f"bn_{conv_i}"] = bnp
+        stats[f"bn_{conv_i}"] = bns
+        seq += 3
+        conv_i += 1
+    for i, j in ((1, 0), (2, 3), (3, 6)):
+        params[f"fc{i}"] = _dense(sd, f"classifier.{j}")
+    return {"params": jax.tree.map(np.asarray, params), "batch_stats": jax.tree.map(np.asarray, stats)}
+
+
+def convert_wideresnet_state_dict(sd: Mapping, depth: int = 28) -> dict:
+    """Reference WideResNet (``models/wideresnet.py``) state dict → Flax
+    ``WideResNet`` params: ``block{g}.layer.{b}.{bn1,conv1,bn2,conv2,
+    convShortcut}`` plus the stem conv1 and final bn1/fc."""
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v for k, v in sd.items()}
+    n = (depth - 4) // 6
+    params = {"conv1": _conv2d(sd, "conv1"), "fc": _dense(sd, "fc")}
+    stats = {}
+    bnp, bns = _batchnorm(sd, "bn1")
+    params["bn1"], stats["bn1"] = bnp, bns
+    for g in range(1, 4):
+        for b in range(n):
+            t = f"block{g}.layer.{b}"
+            blk_p, blk_s = {}, {}
+            for bn in ("bn1", "bn2"):
+                bp, bs = _batchnorm(sd, f"{t}.{bn}")
+                blk_p[bn], blk_s[bn] = bp, bs
+            blk_p["conv1"] = _conv2d(sd, f"{t}.conv1")
+            blk_p["conv2"] = _conv2d(sd, f"{t}.conv2")
+            if f"{t}.convShortcut.weight" in sd:
+                blk_p["conv_shortcut"] = _conv2d(sd, f"{t}.convShortcut")
+            params[f"block{g}_{b}"] = blk_p
+            stats[f"block{g}_{b}"] = blk_s
+    return {"params": jax.tree.map(np.asarray, params), "batch_stats": jax.tree.map(np.asarray, stats)}
+
+
+def convert_densenet_state_dict(sd: Mapping, depth: int = 100) -> dict:
+    """Reference DenseNet-BC (``models/densenet.py``) state dict → Flax
+    ``DenseNet`` params: ``dense{d}.{b}.{bn1,conv1,bn2,conv2}``,
+    ``trans{d}.{bn1,conv1}``, stem conv1, final bn/fc."""
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v for k, v in sd.items()}
+    n = (depth - 4) // 6
+    params = {"conv1": _conv2d(sd, "conv1"), "fc": _dense(sd, "fc")}
+    stats = {}
+    bnp, bns = _batchnorm(sd, "bn")
+    params["bn_final"], stats["bn_final"] = bnp, bns
+    for d in range(1, 4):
+        for b in range(n):
+            t = f"dense{d}.{b}"
+            blk_p, blk_s = {}, {}
+            for bn in ("bn1", "bn2"):
+                bp, bs = _batchnorm(sd, f"{t}.{bn}")
+                blk_p[bn], blk_s[bn] = bp, bs
+            blk_p["conv1"] = _conv2d(sd, f"{t}.conv1")
+            blk_p["conv2"] = _conv2d(sd, f"{t}.conv2")
+            params[f"dense{d}_{b}"] = blk_p
+            stats[f"dense{d}_{b}"] = blk_s
+        if d < 3:
+            bp, bs = _batchnorm(sd, f"trans{d}.bn1")
+            params[f"trans{d}_bn"], stats[f"trans{d}_bn"] = bp, bs
+            params[f"trans{d}_conv"] = _conv2d(sd, f"trans{d}.conv1")
+    return {"params": jax.tree.map(np.asarray, params), "batch_stats": jax.tree.map(np.asarray, stats)}
+
+
+def convert_dpn_state_dict(sd: Mapping, num_blocks=(3, 4, 20, 3)) -> dict:
+    """Reference DPN (``models/dpn.py``) state dict → Flax ``DPN`` params:
+    ``layer{l}.{i}.{conv1..3,bn1..3,shortcut.0,shortcut.1}`` plus stem
+    conv1/bn1 and the linear head."""
+    sd = {k.replace("module.", "", 1) if k.startswith("module.") else k: v for k, v in sd.items()}
+    params = {"conv1": _conv2d(sd, "conv1"), "linear": _dense(sd, "linear")}
+    stats = {}
+    bnp, bns = _batchnorm(sd, "bn1")
+    params["bn1"], stats["bn1"] = bnp, bns
+    for l, nb in enumerate(num_blocks, start=1):
+        for i in range(nb):
+            t = f"layer{l}.{i}"
+            blk_p, blk_s = {}, {}
+            for c in (1, 2, 3):
+                blk_p[f"conv{c}"] = _conv2d(sd, f"{t}.conv{c}")
+                bp, bs = _batchnorm(sd, f"{t}.bn{c}")
+                blk_p[f"bn{c}"], blk_s[f"bn{c}"] = bp, bs
+            if f"{t}.shortcut.0.weight" in sd:
+                blk_p["shortcut_conv"] = _conv2d(sd, f"{t}.shortcut.0")
+                bp, bs = _batchnorm(sd, f"{t}.shortcut.1")
+                blk_p["shortcut_bn"], blk_s["shortcut_bn"] = bp, bs
+            params[f"layer{l}_{i}"] = blk_p
+            stats[f"layer{l}_{i}"] = blk_s
+    return {"params": jax.tree.map(np.asarray, params), "batch_stats": jax.tree.map(np.asarray, stats)}
+
+
 def _tolerant_torch_load(path: str):
     """``torch.load`` that survives full-model pickles whose class modules
     are not importable (the reference saves whole models —
@@ -334,6 +438,19 @@ def load_classifier_checkpoint(path: str, model_name: str = "resnext29_8_64") ->
         return convert_m5_state_dict(sd)
     if model_name in ("rcnn_kws", "kws", "attn_rcnn"):
         return convert_kws_state_dict(sd)
+    if model_name.startswith("vgg"):
+        cfg = {"11": "A", "13": "B", "16": "D", "19": "E"}[
+            "".join(c for c in model_name if c.isdigit())]
+        return convert_vgg_state_dict(sd, cfg=cfg)
+    if model_name.startswith("wideresnet") or model_name.startswith("wrn"):
+        depth = int("".join(c for c in model_name if c.isdigit())[:2] or 28)
+        return convert_wideresnet_state_dict(sd, depth=depth)
+    if model_name.startswith("densenet"):
+        depth = int(model_name.split("_")[-2]) if "_" in model_name else 100
+        return convert_densenet_state_dict(sd, depth=depth)
+    if model_name.startswith("dpn"):
+        nb = (2, 2, 2, 2) if model_name == "dpn26" else (3, 4, 20, 3)
+        return convert_dpn_state_dict(sd, num_blocks=nb)
     raise NotImplementedError(f"no converter for {model_name} yet; use a native orbax checkpoint")
 
 

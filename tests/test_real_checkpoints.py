@@ -118,3 +118,84 @@ def test_m5_full_model_pickle_loads_without_class(rng_np):
     model = M5(first_kernel_size=160, n_output=golden.shape[1])
     ours = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
     np.testing.assert_allclose(ours, golden, atol=1e-3, rtol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# ConvNets zoo converter parity vs the REAL reference torch classes
+# (imported from the read-only tree as the golden oracle — no shipped .pth
+# exists for these four, so the oracle is the class at torch's random init).
+
+CONVNETS = os.path.join(REF, "audio_models/ConvNets_SpeechCommands/models")
+
+
+def _load_ref_module(fname):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        f"ref_convnets_{fname[:-3]}", os.path.join(CONVNETS, fname))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _logits_match(torch_model, flax_model, variables, rng_np, atol=1e-3):
+    import torch
+
+    torch_model = torch_model.float().eval()
+    x = rng_np.standard_normal((2, 1, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = torch_model(torch.from_numpy(x)).numpy()
+    got = np.asarray(flax_model.apply(variables, jnp.asarray(x), train=False))
+    assert np.abs(want).max() > 1e-3  # non-vacuous
+    np.testing.assert_allclose(got, want, atol=atol, rtol=1e-4)
+
+
+@needs_ref
+def test_vgg19_bn_converter_parity(rng_np):
+    from diffusion_model_for_audio_defense_tpu.core.checkpoint import convert_vgg_state_dict
+    from diffusion_model_for_audio_defense_tpu.models.vgg import vgg19_bn
+
+    __import__("torch").manual_seed(0)
+    tm = _load_ref_module("vgg.py").vgg19_bn(in_channels=1, num_classes=10)
+    variables = convert_vgg_state_dict(tm.state_dict(), cfg="E")
+    _logits_match(tm, vgg19_bn(num_classes=10), variables, rng_np)
+
+
+@needs_ref
+def test_wideresnet28_10_converter_parity(rng_np):
+    from diffusion_model_for_audio_defense_tpu.core.checkpoint import (
+        convert_wideresnet_state_dict,
+    )
+    from diffusion_model_for_audio_defense_tpu.models.wideresnet import wideresnet28_10
+
+    __import__("torch").manual_seed(1)
+    tm = _load_ref_module("wideresnet.py").WideResNet(
+        depth=28, num_classes=10, in_channels=1, widen_factor=10)
+    variables = convert_wideresnet_state_dict(tm.state_dict(), depth=28)
+    _logits_match(tm, wideresnet28_10(num_classes=10), variables, rng_np)
+
+
+@needs_ref
+def test_densenet_bc_100_12_converter_parity(rng_np):
+    from diffusion_model_for_audio_defense_tpu.core.checkpoint import (
+        convert_densenet_state_dict,
+    )
+    from diffusion_model_for_audio_defense_tpu.models.densenet import densenet_bc_100_12
+
+    __import__("torch").manual_seed(2)
+    ref = _load_ref_module("densenet.py")
+    tm = ref.DenseNet(depth=100, block=ref.Bottleneck, num_classes=10,
+                      growthRate=12, compressionRate=2, in_channels=1)
+    variables = convert_densenet_state_dict(tm.state_dict(), depth=100)
+    _logits_match(tm, densenet_bc_100_12(num_classes=10), variables, rng_np)
+
+
+@needs_ref
+def test_dpn92_converter_parity(rng_np):
+    from diffusion_model_for_audio_defense_tpu.core.checkpoint import convert_dpn_state_dict
+    from diffusion_model_for_audio_defense_tpu.models.dpn import dpn92
+
+    __import__("torch").manual_seed(3)
+    tm = _load_ref_module("dpn.py").DPN92(num_classes=10, in_channels=1)
+    variables = convert_dpn_state_dict(tm.state_dict(), num_blocks=(3, 4, 20, 3))
+    _logits_match(tm, dpn92(num_classes=10), variables, rng_np)
