@@ -1,4 +1,4 @@
-from .losses import resolve_loss, resolve_prediction, cross_entropy, margin_loss  # noqa: F401
+from .losses import resolve_loss, resolve_prediction, cross_entropy, margin_loss, make_decision  # noqa: F401
 from .eot import EOT  # noqa: F401
 from .pgd import AudioAttack, project_to_norm_ball, lp_norm  # noqa: F401
 from .masker import PsychoacousticMasker  # noqa: F401

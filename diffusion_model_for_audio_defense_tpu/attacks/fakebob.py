@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .losses import margin_loss, resolve_loss
+from .losses import make_decision, resolve_loss
 from .nes import nes_grad
 
 
@@ -39,9 +39,11 @@ class FAKEBOB:
         stop_early_iter: int = 100,
         batch_size: int = 1,
         verbose: int = 1,
+        threshold: float = None,
     ):
         self.model_fn = model_fn
         self.task = task
+        self.threshold = threshold
         self.targeted = targeted
         self.confidence = confidence
         self.epsilon = epsilon
@@ -58,23 +60,87 @@ class FAKEBOB:
         self.batch_size = batch_size
         self.verbose = verbose
 
-    def estimate_threshold(self, x, step: float = 0.1):
+    def estimate_threshold(self, x, step: float = 0.1, decision_fn=None, rng=None):
         """Decision-threshold estimation for SV/OSI tasks
-        (reference ``black_box_attack.py:221-311``). The speech-commands task
-        has no reject threshold — mirror the reference's CSI behavior."""
+        (reference ``black_box_attack.py:221-311``; the reference's active
+        copy is SCR-only and its decision is a plain argmax, so its loop
+        exits immediately — this realizes the SEC4SR search it derives from).
+
+        Per rejected input: candidate θ starts at max-score + δ; an NES
+        margin attack pushes the score up until the system ACCEPTS (the
+        score at acceptance estimates θ) or the score crosses the candidate
+        without acceptance (candidate += δ). ``decision_fn(scores) -> labels``
+        is the black-box decision (−1 = reject) of the system under attack.
+        Sets and returns ``self.threshold`` (mean over inputs; None if no
+        input yielded an estimate).
+        """
         if self.task in ("SCR", "CSI"):
             print("--- Warning: no need to estimate threshold for this task, quitting ---")
             return None
-        raise NotImplementedError(
-            "threshold estimation targets SV/OSI speaker-recognition systems; "
-            "this framework exposes the SCR task only (like the reference's active path)"
-        )
+        if decision_fn is None:
+            raise ValueError("SV/OSI threshold estimation needs the system's decision_fn")
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        x = jnp.asarray(x)
+        estimates = []
+        for i in range(x.shape[0]):
+            rng, k = jax.random.split(rng)
+            est = self._estimate_threshold_run(x[i : i + 1], step, decision_fn, k)
+            if est is not None:
+                estimates.append(est)
+        self.threshold = float(np.mean(estimates)) if estimates else None
+        return self.threshold
+
+    def _estimate_threshold_run(self, x, step, decision_fn, rng, max_outer: int = 20):
+        rng, k0 = jax.random.split(rng)
+        scores = self.model_fn(x, k0)
+        if int(decision_fn(scores)[0]) != -1:
+            return None  # already accepted: carries no threshold information
+        init_score = float(jnp.max(scores[0]))
+        delta = abs(init_score * step)
+        threshold = init_score + delta
+        y = jnp.asarray([-1])
+        lower = jnp.clip(x - self.epsilon, min=-1.0)
+        upper = jnp.clip(x + self.epsilon, max=1.0)
+
+        adver_x = x
+        grad = jnp.zeros_like(x)
+        for _ in range(max_outer):
+            loss_fn, grad_sign = resolve_loss("Margin", False, 0.0, self.task, threshold, clip_max=False)
+            estimator = nes_grad(self.model_fn, loss_fn, self.samples_per_draw, self.sigma)
+            last_ls = []
+            lr = self.max_lr
+            while True:
+                rng, kq = jax.random.split(rng)
+                scores = self.model_fn(adver_x, kq)
+                score = float(jnp.max(scores[0]))
+                if int(decision_fn(scores)[0]) != -1:
+                    return score  # accepted: this score sits at the threshold
+                if score >= threshold:
+                    break  # candidate too low; raise it and keep pushing
+                rng, k = jax.random.split(rng)
+                prev_grad = grad
+                mean_loss, g, _, _, _ = estimator(adver_x, y, k)
+                grad = self.momentum * prev_grad + (1.0 - self.momentum) * g
+                ml = float(np.asarray(mean_loss)[0])
+                last_ls = (last_ls + [ml])[-self.plateau_length:]
+                if len(last_ls) == self.plateau_length and last_ls[-1] > last_ls[0]:
+                    lr = max(lr / self.plateau_drop, self.min_lr)
+                    last_ls = []
+                adver_x = jnp.clip(adver_x + grad_sign * lr * jnp.sign(grad), lower, upper)
+            threshold += delta
+        return None
 
     def generate(self, x, y, targeted: bool = False, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.targeted = targeted
-        loss_fn, self.grad_sign = resolve_loss("Margin", targeted, self.confidence, self.task, clip_max=False)
-        estimator = nes_grad(self.model_fn, loss_fn, self.samples_per_draw, self.sigma)
+        loss_fn, self.grad_sign = resolve_loss(
+            "Margin", targeted, self.confidence, self.task,
+            threshold=self.threshold, clip_max=False)
+        decision = None
+        if self.task in ("SV", "OSI"):
+            decision = lambda s: make_decision(s, self.task, self.threshold)
+        estimator = nes_grad(self.model_fn, loss_fn, self.samples_per_draw, self.sigma,
+                             decision_fn=decision)
 
         x = jnp.asarray(x)
         y = jnp.asarray(y)

@@ -29,17 +29,68 @@ def margin_loss(
     labels: jnp.ndarray,
     targeted: bool = False,
     confidence: float = 0.0,
+    task: str = "SCR",
+    threshold: float = None,
     clip_max: bool = True,
 ) -> jnp.ndarray:
-    """CSI-branch margin loss (reference ``SEC4SR_MarginLoss``):
-    untargeted f = score_real + κ − score_other (negative ⇒ attack success)."""
-    onehot = (labels[:, None] == jnp.arange(scores.shape[-1])[None, :]).astype(scores.dtype)
-    score_real = jnp.sum(onehot * scores, axis=-1)
-    score_other = jnp.max((1 - onehot) * scores - onehot * 10000.0, axis=-1)
-    loss = (score_other + confidence - score_real) if targeted else (score_real + confidence - score_other)
+    """Task-aware margin loss (the ``SEC4SR_MarginLoss`` the reference's
+    resolver points at, ``_utils.py:107-110`` — its active branch only wires
+    the CSI/SCR case; the SV/OSI branches here realize the commented intent).
+
+    Negative loss ⇔ attack success in every branch. Label −1 means
+    "rejected" for threshold tasks:
+
+    - SCR/CSI: untargeted f = s_y + κ − max_{i≠y} s_i;
+      targeted f = max_{i≠t} s_i + κ − s_t.
+    - SV (scores ``(B,1)``, decision s ≥ θ): targeted (force accept)
+      f = θ + κ − s; untargeted on an accepted input f = s + κ − θ, on a
+      rejected input (y = −1) f = θ + κ − s.
+    - OSI: targeted f = max(max_{i≠t} s_i, θ) + κ − s_t; untargeted on an
+      enrolled y f = s_y + κ − max(max_{i≠y} s_i, θ), on a rejected input
+      f = θ + κ − max_i s_i.
+    """
+    if task in ("SV", "OSI") and threshold is None:
+        raise ValueError(f"{task} margin loss needs the decision threshold")
+    if task == "SV":
+        s = scores[:, 0]
+        if targeted:
+            loss = threshold + confidence - s
+        else:
+            loss = jnp.where(labels >= 0, s + confidence - threshold,
+                             threshold + confidence - s)
+    elif task == "OSI":
+        lab = jnp.maximum(labels, 0)
+        onehot = (lab[:, None] == jnp.arange(scores.shape[-1])[None, :]).astype(scores.dtype)
+        score_real = jnp.sum(onehot * scores, axis=-1)
+        score_other = jnp.max((1 - onehot) * scores - onehot * 10000.0, axis=-1)
+        if targeted:
+            loss = jnp.maximum(score_other, threshold) + confidence - score_real
+        else:
+            loss = jnp.where(
+                labels >= 0,
+                score_real + confidence - jnp.maximum(score_other, threshold),
+                threshold + confidence - jnp.max(scores, axis=-1),
+            )
+    else:
+        onehot = (labels[:, None] == jnp.arange(scores.shape[-1])[None, :]).astype(scores.dtype)
+        score_real = jnp.sum(onehot * scores, axis=-1)
+        score_other = jnp.max((1 - onehot) * scores - onehot * 10000.0, axis=-1)
+        loss = (score_other + confidence - score_real) if targeted else (score_real + confidence - score_other)
     if clip_max:
         loss = jnp.maximum(loss, 0.0)
     return loss
+
+
+def make_decision(scores: jnp.ndarray, task: str = "SCR", threshold: float = None) -> jnp.ndarray:
+    """Scores → decision labels; −1 means reject for threshold tasks
+    (the reference's commented ``model.make_decision`` protocol,
+    ``black_box_attack.py:225,260``)."""
+    if task == "SV":
+        return jnp.where(scores[:, 0] >= threshold, 0, -1)
+    if task == "OSI":
+        return jnp.where(jnp.max(scores, axis=-1) >= threshold,
+                         jnp.argmax(scores, axis=-1), -1)
+    return jnp.argmax(scores, axis=-1)
 
 
 def resolve_loss(
@@ -47,11 +98,21 @@ def resolve_loss(
     targeted: bool = False,
     confidence: float = 0.0,
     task: str = "SCR",
+    threshold: float = None,
     clip_max: bool = True,
 ):
-    """(loss_fn, grad_sign), reference ``_utils.py:116-127`` semantics."""
-    if task != "SCR":
+    """(loss_fn, grad_sign), reference ``_utils.py:116-127`` semantics;
+    SV/OSI force the margin loss (``:107-110``)."""
+    if task not in ("SCR", "CSI", "SV", "OSI"):
         raise NotImplementedError(f"unsupported task yet: {task}!")
+    if task in ("SV", "OSI"):
+        if loss_name == "Entropy":
+            import warnings
+
+            warnings.warn(f"You are targeting {task} task. Force using Margin Loss.")
+        loss = lambda s, y: margin_loss(s, y, targeted=targeted, confidence=confidence,
+                                        task=task, threshold=threshold, clip_max=clip_max)
+        return loss, -1
     if loss_name == "Entropy":
         # ascend CE when untargeted, descend when targeted (reference
         # _utils.py:126: grad_sign = -1 if targeted else 1)

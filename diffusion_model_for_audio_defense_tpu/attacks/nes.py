@@ -18,7 +18,7 @@ import numpy as np
 from .losses import resolve_prediction
 
 
-def _nes_core(model_fn, loss_fn, samples_per_draw, sigma, x, y, rng):
+def _nes_core(model_fn, loss_fn, samples_per_draw, sigma, decision_fn, x, y, rng):
     bsz, nch, length = x.shape
     half = samples_per_draw // 2
     k_noise, k_model = jax.random.split(rng)
@@ -30,7 +30,8 @@ def _nes_core(model_fn, loss_fn, samples_per_draw, sigma, x, y, rng):
 
     scores = model_fn(eval_x, k_model)  # (B*(S+1), C)
     loss = loss_fn(scores, eval_y).reshape(bsz, samples_per_draw + 1)
-    decisions = jnp.argmax(scores, axis=-1).reshape(bsz, samples_per_draw + 1)
+    decide = decision_fn if decision_fn is not None else partial(jnp.argmax, axis=-1)
+    decisions = decide(scores).reshape(bsz, samples_per_draw + 1)
 
     adver_loss = loss[:, 0]
     adver_score = scores.reshape(bsz, samples_per_draw + 1, -1)[:, 0]
@@ -44,10 +45,12 @@ def nes_grad(
     loss_fn: Callable,
     samples_per_draw: int = 50,
     sigma: float = 0.001,
+    decision_fn: Callable = None,
 ):
     """Returns jitted ``estimate(x, y, rng) -> (mean_loss, grad, adver_loss,
-    adver_score, predict)`` with ``predict`` the clean-point decision."""
-    core = jax.jit(partial(_nes_core, model_fn, loss_fn, samples_per_draw, sigma))
+    adver_score, predict)`` with ``predict`` the clean-point decision
+    (argmax, or ``decision_fn(scores)`` for threshold tasks where −1=reject)."""
+    core = jax.jit(partial(_nes_core, model_fn, loss_fn, samples_per_draw, sigma, decision_fn))
 
     def estimate(x, y, rng):
         mean_loss, grad, adver_loss, adver_score, decisions = core(x, y, rng)

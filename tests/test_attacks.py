@@ -223,3 +223,75 @@ def test_eot_chunked_matches_deterministic(rng_np):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
     assert d2.shape == (8, 2)
+
+
+def test_margin_loss_sv_osi_formulas():
+    """SV/OSI margin branches (SEC4SR semantics the reference's resolver
+    points at, _utils.py:107-110): hand-computed values, -1 = rejected."""
+    from diffusion_model_for_audio_defense_tpu.attacks import make_decision, margin_loss
+
+    # SV: single score column, threshold 0.5
+    s = jnp.asarray([[0.8], [0.2]])
+    y = jnp.asarray([0, -1])
+    un = margin_loss(s, y, targeted=False, task="SV", threshold=0.5, clip_max=False)
+    # accepted input: s - theta = 0.3 ; rejected input: theta - s = 0.3
+    np.testing.assert_allclose(np.asarray(un), [0.3, 0.3], atol=1e-6)
+    tg = margin_loss(s, y, targeted=True, task="SV", threshold=0.5, clip_max=False)
+    np.testing.assert_allclose(np.asarray(tg), [-0.3, 0.3], atol=1e-6)
+
+    # OSI: threshold 1.0
+    sc = jnp.asarray([[2.0, 0.5, 0.1], [0.4, 0.9, 0.2]])
+    yo = jnp.asarray([0, -1])
+    un = margin_loss(sc, yo, targeted=False, task="OSI", threshold=1.0, clip_max=False)
+    # enrolled: s_y - max(other, theta) = 2.0 - 1.0 ; rejected: theta - max = 0.1
+    np.testing.assert_allclose(np.asarray(un), [1.0, 0.1], atol=1e-6)
+    tg = margin_loss(sc, jnp.asarray([1, 1]), targeted=True, task="OSI",
+                     threshold=1.0, clip_max=False)
+    # target 1: max(other, theta) - s_t = 2.0-0.5 ; 1.0-0.9
+    np.testing.assert_allclose(np.asarray(tg), [1.5, 0.1], atol=1e-6)
+
+    d = make_decision(sc, "OSI", 1.0)
+    np.testing.assert_array_equal(np.asarray(d), [0, -1])
+    d = make_decision(s, "SV", 0.5)
+    np.testing.assert_array_equal(np.asarray(d), [0, -1])
+
+
+def test_resolve_loss_sv_forces_margin():
+    import warnings
+
+    from diffusion_model_for_audio_defense_tpu.attacks import resolve_loss
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        loss, sign = resolve_loss("Entropy", False, 0.0, "OSI", threshold=1.0)
+        assert sign == -1 and any("Margin" in str(x.message) for x in w)
+    s = jnp.asarray([[2.0, 0.5]])
+    assert float(loss(s, jnp.asarray([0]))[0]) > 0
+
+
+def test_fakebob_estimate_threshold_toy_osi(rng_np):
+    """Toy OSI system with a known threshold: a linear score head whose max
+    score rises with the input mean. The estimate must land within ~step of
+    the true threshold."""
+    from diffusion_model_for_audio_defense_tpu.attacks import make_decision
+    from diffusion_model_for_audio_defense_tpu.attacks.fakebob import FAKEBOB
+
+    true_theta = 0.30
+
+    def model_fn(x, key=None):
+        m = jnp.mean(x, axis=(1, 2))
+        return jnp.stack([m * 4.0, m * 2.0], axis=-1)
+
+    atk = FAKEBOB(model_fn, task="OSI", epsilon=0.2, max_lr=0.02,
+                  samples_per_draw=10, sigma=0.01, verbose=0)
+    x = jnp.full((1, 1, 64), 0.05)  # max score 0.2 < theta -> rejected
+    theta = atk.estimate_threshold(
+        x, step=0.1, decision_fn=lambda s: make_decision(s, "OSI", true_theta),
+        rng=jax.random.PRNGKey(0))
+    assert theta is not None
+    assert abs(theta - true_theta) < 0.1, theta
+    # accepted inputs carry no information
+    x_acc = jnp.full((1, 1, 64), 0.2)
+    atk2 = FAKEBOB(model_fn, task="OSI", verbose=0)
+    assert atk2.estimate_threshold(
+        x_acc, decision_fn=lambda s: make_decision(s, "OSI", true_theta)) is None
