@@ -39,6 +39,8 @@ def build_parser():
     p.add_argument("--n0", type=int, default=100)
     p.add_argument("--alpha", type=float, default=0.001)
     p.add_argument("--certify_batch_size", type=int, default=64)
+    p.add_argument("--use_pallas", type=int, default=1,
+                   help="fused Pallas WaveNet stack for the forward-only certify loop (TPU only)")
     p.add_argument("--batch_size", type=int, default=10)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
@@ -67,7 +69,17 @@ def main(argv=None):
 
     eps_fn = schedule = None
     if args.defense_method == "diffusion":
-        _, _, eps_fn, schedule = load_diffwave_eps_fn(args)
+        wavenet, wn_vars, eps_fn, schedule = load_diffwave_eps_fn(args)
+        # certification is forward-only: use the fused Pallas stack (~2x the
+        # XLA forward on v5e; ops/pallas/wavenet_stack.py). Falls back to the
+        # XLA path on CPU or non-lane-aligned channel counts.
+        if (args.use_pallas and jax.default_backend() not in ("cpu",)
+                and wavenet.res_channels % 128 == 0):
+            from ..ops.pallas.wavenet_stack import wavenet_apply_stack
+
+            eps_fn = lambda x, t: wavenet_apply_stack(
+                wn_vars, x, t[:, None], num_res_layers=wavenet.num_res_layers,
+                dilation_cycle=wavenet.dilation_cycle)
     transform = None if args.classifier_model == "m5" else Wave2Spect(n_mels=32)
 
     rc = RandomizedSmoothing(
