@@ -65,9 +65,13 @@ def build_classifier(args, num_classes: int = 10):
     return model, variables, apply_fn
 
 
-def load_diffwave_eps_fn(args):
+def load_diffwave_eps_fn(args, fast: bool = False):
     """DiffWave ε-net + linear-200 schedule from the reference config/ckpt
-    (``create_diffwave_model``, diffwave_ddpm.py:395-411)."""
+    (``create_diffwave_model``, diffwave_ddpm.py:395-411).
+
+    ``fast=True`` returns the fused Pallas-stack forward for forward-only
+    workloads (certify, sampling) — ~2x the XLA forward on v5e. Falls back
+    to the XLA path (differentiable) on CPU or non-lane-aligned channels."""
     import json
 
     cfg_path = getattr(args, "ddpm_config", None)
@@ -89,7 +93,14 @@ def load_diffwave_eps_fn(args):
     else:
         print(f"[warn] DiffWave checkpoint not found at {path!r}; using random init", file=sys.stderr)
         variables = wavenet.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 16000)), jnp.zeros((1, 1)))
-    eps_fn = lambda x, t: wavenet.apply(variables, x, t[:, None])
+    if fast and jax.default_backend() != "cpu" and wavenet.res_channels % 128 == 0:
+        from ..ops.pallas.wavenet_stack import wavenet_apply_stack
+
+        eps_fn = lambda x, t: wavenet_apply_stack(
+            variables, x, t[:, None], num_res_layers=wavenet.num_res_layers,
+            dilation_cycle=wavenet.dilation_cycle)
+    else:
+        eps_fn = lambda x, t: wavenet.apply(variables, x, t[:, None])
     return wavenet, variables, eps_fn, schedule
 
 

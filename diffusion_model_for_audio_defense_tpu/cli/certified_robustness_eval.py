@@ -69,17 +69,9 @@ def main(argv=None):
 
     eps_fn = schedule = None
     if args.defense_method == "diffusion":
-        wavenet, wn_vars, eps_fn, schedule = load_diffwave_eps_fn(args)
-        # certification is forward-only: use the fused Pallas stack (~2x the
-        # XLA forward on v5e; ops/pallas/wavenet_stack.py). Falls back to the
-        # XLA path on CPU or non-lane-aligned channel counts.
-        if (args.use_pallas and jax.default_backend() not in ("cpu",)
-                and wavenet.res_channels % 128 == 0):
-            from ..ops.pallas.wavenet_stack import wavenet_apply_stack
-
-            eps_fn = lambda x, t: wavenet_apply_stack(
-                wn_vars, x, t[:, None], num_res_layers=wavenet.num_res_layers,
-                dilation_cycle=wavenet.dilation_cycle)
+        # certification is forward-only: fast=True routes through the fused
+        # Pallas stack (~2x XLA on v5e) with automatic CPU/shape fallback
+        _, _, eps_fn, schedule = load_diffwave_eps_fn(args, fast=bool(args.use_pallas))
     transform = None if args.classifier_model == "m5" else Wave2Spect(n_mels=32)
 
     rc = RandomizedSmoothing(

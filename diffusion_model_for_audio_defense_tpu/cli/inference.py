@@ -23,6 +23,8 @@ def build_parser():
     p.add_argument("--ckpt_path", type=str, default=None, help="orbax dir or torch .pkl")
     p.add_argument("--output_directory", type=str, default="speeches")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_pallas", type=int, default=1,
+                   help="fused Pallas WaveNet forward for sampling (TPU only)")
     return p
 
 
@@ -32,7 +34,8 @@ def main(argv=None):
     from ..utils import audio_save
 
     ns = argparse.Namespace(ddpm_config=args.config, ddpm_path=args.ckpt_path)
-    _, _, eps_fn, schedule = load_diffwave_eps_fn(ns)
+    # sampling is forward-only: fused Pallas stack when on TPU
+    _, _, eps_fn, schedule = load_diffwave_eps_fn(ns, fast=bool(args.use_pallas))
 
     shape = (args.num_samples, 1, 16000)
     T = schedule.T

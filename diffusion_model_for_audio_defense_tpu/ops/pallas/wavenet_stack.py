@@ -185,6 +185,37 @@ def fused_group_stack(
     return h_next[:, :L], skip[:, :L]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def residual_block_ad(h, skip, tb, wd, bd, wrs, brs, dilation, tile_l, l_real, interpret):
+    """One singleton residual block with a Pallas VJP (forward =
+    ``fused_group_stack`` G=1; backward = ``wavenet_stack_bwd``). Makes the
+    fast stack differentiable for training and adaptive attacks."""
+    return fused_group_stack(
+        h, skip, tb[None], wd[None], bd[None], wrs[None], brs[None],
+        dilations=(dilation,), tile_l=tile_l, l_real=l_real, interpret=interpret)
+
+
+def _block_ad_fwd(h, skip, tb, wd, bd, wrs, brs, dilation, tile_l, l_real, interpret):
+    out = residual_block_ad(h, skip, tb, wd, bd, wrs, brs, dilation, tile_l, l_real, interpret)
+    return out, (h, tb, wd, bd, wrs, brs)
+
+
+def _block_ad_bwd(dilation, tile_l, l_real, interpret, res, cts):
+    from .wavenet_stack_bwd import residual_block_grad
+
+    h, tb, wd, bd, wrs, brs = res
+    dh2, ds2 = cts
+    dh, dtb, dwd, dbd, dwrs, dbrs = residual_block_grad(
+        h, dh2, ds2, tb, wd, bd, wrs,
+        dilation=dilation, tile_l=tile_l, l_real=l_real, interpret=interpret)
+    cast = lambda g, p: g.astype(p.dtype)
+    return (cast(dh, h), ds2, cast(dtb, tb), cast(dwd, wd),
+            cast(dbd, bd), cast(dwrs, wrs), cast(dbrs, brs))
+
+
+residual_block_ad.defvjp(_block_ad_fwd, _block_ad_bwd)
+
+
 # measured-best plan for one 12-dilation cycle (1..2048) on v5e: ALL
 # singletons. A singleton with pow2 dilation has H = pow2(d) = d, so every
 # block computes exactly TL useful rows — zero halo overcompute — and runs
@@ -233,6 +264,8 @@ def wavenet_apply_stack(
     dtype=jnp.bfloat16,
     nsplit: int = 1,
     partition=None,
+    differentiable: bool = False,
+    remat_cycles: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Full WaveNet forward on the fused-stack kernels.
@@ -278,7 +311,14 @@ def wavenet_apply_stack(
         return st(tb), st(wd), st(bd), st(wrs), st(brs)
 
     dils = [2 ** (n % dilation_cycle) for n in range(num_res_layers)]
-    parts = partition if partition is not None else stack_partition(dils)
+    if differentiable:
+        # AD mode: every block is a singleton custom-VJP call (the Pallas
+        # backward needs a 2d halo, hence tile >= 2d); cycles are rematted so
+        # only one chain state per cycle is stashed for the backward pass.
+        tiles = [max(1024, 2 * d_) for d_ in dils]
+        parts = [(n, n + 1, tiles[n]) for n in range(num_res_layers)]
+    else:
+        parts = partition if partition is not None else stack_partition(dils)
     # pad ONCE to a common tile multiple and thread l_real through every
     # kernel call — per-call pad/slice costs ~54 ms/forward in HBM copies
     # (measured: 'broadcast_select_fusion' in the certify trace).
@@ -288,13 +328,32 @@ def wavenet_apply_stack(
     if L_pad != L:
         h = jnp.pad(h, ((0, 0), (0, L_pad - L), (0, 0)))
     skip_sum = jnp.zeros_like(h)
-    for s, e, tl in parts:
-        tb, wd, bd, wrs, brs = block_params(range(s, e))
-        h, skip_sum = fused_group_stack(
-            h, skip_sum, tb, wd, bd, wrs, brs,
-            dilations=tuple(dils[s:e]), tile_l=tl, nsplit=nsplit,
-            l_real=L, interpret=interpret,
-        )
+    if differentiable:
+        def make_cycle(ns):
+            def cyc(h, skip, pblocks):
+                for n, (tb, wd, bd, wrs, brs) in zip(ns, pblocks):
+                    h, skip = residual_block_ad(
+                        h, skip, tb[0], wd[0], bd[0], wrs[0], brs[0],
+                        dils[n], tiles[n], L, interpret)
+                return h, skip
+            return cyc
+
+        step = max(1, dilation_cycle)
+        for c0 in range(0, num_res_layers, step):
+            ns = list(range(c0, min(c0 + step, num_res_layers)))
+            pblocks = [block_params(range(n, n + 1)) for n in ns]
+            fn = make_cycle(ns)
+            if remat_cycles:
+                fn = jax.checkpoint(fn)
+            h, skip_sum = fn(h, skip_sum, pblocks)
+    else:
+        for s, e, tl in parts:
+            tb, wd, bd, wrs, brs = block_params(range(s, e))
+            h, skip_sum = fused_group_stack(
+                h, skip_sum, tb, wd, bd, wrs, brs,
+                dilations=tuple(dils[s:e]), tile_l=tl, nsplit=nsplit,
+                l_real=L, interpret=interpret,
+            )
     out = skip_sum[:, :L] * math.sqrt(1.0 / num_res_layers)
 
     f1 = p["final_conv1"]["Conv_0"]
