@@ -70,8 +70,12 @@ def load_diffwave_eps_fn(args, fast: bool = False):
     (``create_diffwave_model``, diffwave_ddpm.py:395-411).
 
     ``fast=True`` returns the fused Pallas-stack forward for forward-only
-    workloads (certify, sampling) — ~2x the XLA forward on v5e. Falls back
-    to the XLA path (differentiable) on CPU or non-lane-aligned channels."""
+    workloads (certify, sampling) — ~2x the XLA forward on v5e. Otherwise
+    (attack/gradient workloads) the TPU path is the DIFFERENTIABLE Pallas
+    stack in input-grad-only mode (``grad_params=False`` — adaptive attacks
+    differentiate w.r.t. the waveform; 1.7x XLA AD on v5e); disable with
+    ``args.no_pallas_grad``. Falls back to the XLA path on CPU or
+    non-lane-aligned channels."""
     import json
 
     cfg_path = getattr(args, "ddpm_config", None)
@@ -93,12 +97,20 @@ def load_diffwave_eps_fn(args, fast: bool = False):
     else:
         print(f"[warn] DiffWave checkpoint not found at {path!r}; using random init", file=sys.stderr)
         variables = wavenet.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 16000)), jnp.zeros((1, 1)))
-    if fast and jax.default_backend() != "cpu" and wavenet.res_channels % 128 == 0:
+    pallas_ok = jax.default_backend() != "cpu" and wavenet.res_channels % 128 == 0
+    if fast and pallas_ok:
         from ..ops.pallas.wavenet_stack import wavenet_apply_stack
 
         eps_fn = lambda x, t: wavenet_apply_stack(
             variables, x, t[:, None], num_res_layers=wavenet.num_res_layers,
             dilation_cycle=wavenet.dilation_cycle)
+    elif pallas_ok and not getattr(args, "no_pallas_grad", False):
+        from ..ops.pallas.wavenet_stack import wavenet_apply_stack
+
+        eps_fn = lambda x, t: wavenet_apply_stack(
+            variables, x, t[:, None], num_res_layers=wavenet.num_res_layers,
+            dilation_cycle=wavenet.dilation_cycle, dtype=wavenet.dtype or jnp.float32,
+            differentiable=True, grad_params=False)
     else:
         eps_fn = lambda x, t: wavenet.apply(variables, x, t[:, None])
     return wavenet, variables, eps_fn, schedule

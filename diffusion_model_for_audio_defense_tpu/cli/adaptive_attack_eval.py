@@ -41,6 +41,9 @@ def build_parser():
     parser.add_argument("--diffusion_type", type=str, default="ddpm", help="[ddpm, sde]")
     parser.add_argument("--score_type", type=str, default="guided_diffusion")
     parser.add_argument("--use_bm", action="store_true", default=False)
+    parser.add_argument("--no_pallas_grad", action="store_true", default=False,
+                        help="disable the differentiable Pallas WaveNet stack "
+                             "for attack gradients (fall back to XLA autodiff)")
     # attack arguments (reference :38-47)
     parser.add_argument("--attack", type=str, choices=["CW", "Qin-I", "Kenansville", "FAKEBOB", "SirenAttack"], default="CW")
     parser.add_argument("--defense", type=str,

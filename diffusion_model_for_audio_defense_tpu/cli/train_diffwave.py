@@ -22,6 +22,9 @@ def build_parser():
     p.add_argument("--max_iters", type=int, default=None)
     p.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis size")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pallas", action="store_true", default=False,
+                   help="single-chip fast path: fused Pallas stack + Pallas VJP "
+                        "(1.77x XLA fwd+bwd at bf16 on v5e); ignored with a mesh")
     return p
 
 
@@ -92,6 +95,7 @@ def main(argv=None):
         n_iters=tcfg["n_iters"],
         mesh=mesh,
         segment_length=cfg["trainset_config"]["segment_length"],
+        use_pallas=args.pallas and jax.default_backend() != "cpu",
     )
     data = data_iterator(args, cfg, np.random.default_rng(args.seed))
     trainer.train(data, max_iters=args.max_iters)

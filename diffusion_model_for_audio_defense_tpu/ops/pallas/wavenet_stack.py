@@ -196,17 +196,22 @@ def residual_block_ad(h, skip, tb, wd, bd, wrs, brs, dilation, tile_l, l_real, i
 
 
 def _block_ad_fwd(h, skip, tb, wd, bd, wrs, brs, dilation, tile_l, l_real, interpret):
-    out = residual_block_ad(h, skip, tb, wd, bd, wrs, brs, dilation, tile_l, l_real, interpret)
-    return out, (h, tb, wd, bd, wrs, brs)
+    from .wavenet_stack_bwd import fused_block_fwd_pre
+
+    # the AD forward emits the pre-activation so the backward kernel skips
+    # the 3-tap recompute over the halo-extended grad frame (wavenet_stack_bwd)
+    h2, skip2, pre = fused_block_fwd_pre(
+        h, skip, tb, wd, bd, wrs, brs, dilation, tile_l, l_real, interpret)
+    return (h2, skip2), (h, pre, tb, wd, bd, wrs, brs)
 
 
 def _block_ad_bwd(dilation, tile_l, l_real, interpret, res, cts):
     from .wavenet_stack_bwd import residual_block_grad
 
-    h, tb, wd, bd, wrs, brs = res
+    h, pre, tb, wd, bd, wrs, brs = res
     dh2, ds2 = cts
     dh, dtb, dwd, dbd, dwrs, dbrs = residual_block_grad(
-        h, dh2, ds2, tb, wd, bd, wrs,
+        h, pre, dh2, ds2, tb, wd, wrs,
         dilation=dilation, tile_l=tile_l, l_real=l_real, interpret=interpret)
     cast = lambda g, p: g.astype(p.dtype)
     return (cast(dh, h), ds2, cast(dtb, tb), cast(dwd, wd),
@@ -214,6 +219,40 @@ def _block_ad_bwd(dilation, tile_l, l_real, interpret, res, cts):
 
 
 residual_block_ad.defvjp(_block_ad_fwd, _block_ad_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def residual_block_ad_x(h, skip, tb, wd, bd, wrs, brs, dilation, tile_l, l_real, interpret):
+    """Input-grad-only variant of ``residual_block_ad`` for adaptive attacks:
+    the VJP returns the exact waveform cotangent and ZERO parameter
+    cotangents (the weight-grad outer products and their h_in staging are
+    skipped in-kernel — ~40% of the backward FLOPs)."""
+    return fused_group_stack(
+        h, skip, tb[None], wd[None], bd[None], wrs[None], brs[None],
+        dilations=(dilation,), tile_l=tile_l, l_real=l_real, interpret=interpret)
+
+
+def _block_ad_x_fwd(h, skip, tb, wd, bd, wrs, brs, dilation, tile_l, l_real, interpret):
+    from .wavenet_stack_bwd import fused_block_fwd_pre
+
+    h2, skip2, pre = fused_block_fwd_pre(
+        h, skip, tb, wd, bd, wrs, brs, dilation, tile_l, l_real, interpret)
+    return (h2, skip2), (pre, tb, wd, bd, wrs, brs)
+
+
+def _block_ad_x_bwd(dilation, tile_l, l_real, interpret, res, cts):
+    from .wavenet_stack_bwd import residual_block_grad_x
+
+    pre, tb, wd, bd, wrs, brs = res
+    dh2, ds2 = cts
+    dh = residual_block_grad_x(
+        pre, dh2, ds2, wd, wrs,
+        dilation=dilation, tile_l=tile_l, l_real=l_real, interpret=interpret)
+    z = lambda a: jnp.zeros(a.shape, a.dtype)
+    return (dh.astype(dh2.dtype), ds2, z(tb), z(wd), z(bd), z(wrs), z(brs))
+
+
+residual_block_ad_x.defvjp(_block_ad_x_fwd, _block_ad_x_bwd)
 
 
 # measured-best plan for one 12-dilation cycle (1..2048) on v5e: ALL
@@ -265,6 +304,7 @@ def wavenet_apply_stack(
     nsplit: int = 1,
     partition=None,
     differentiable: bool = False,
+    grad_params: bool = True,
     remat_cycles: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -273,9 +313,16 @@ def wavenet_apply_stack(
     Pure function over the standard (unfused) ``WaveNet`` param tree;
     numerically equivalent to ``WaveNet.apply`` at bf16 tolerance. This is
     the production certify/inference path (~2× the XLA forward on v5e:
-    207 ms vs 409 ms at B=64). NOT differentiable (``pallas_call`` has no
-    VJP here) — adaptive attacks differentiate the XLA ``WaveNet.apply``
-    path instead.
+    207 ms vs 409 ms at B=64).
+
+    ``differentiable=True`` chains custom-VJP blocks whose backward is the
+    fused Pallas kernel (``wavenet_stack_bwd``): 178.5 ms fwd+bwd at B=16
+    vs 200 ms XLA AD on v5e. With ``grad_params=False`` the VJP computes
+    ONLY the waveform cotangent (parameter cotangents are returned as
+    zeros) — the adaptive-attack mode, where the weight-grad outer
+    products are dead weight. Training keeps ``grad_params=True``.
+    ``remat_cycles=True`` bounds stashed activations to one dilation cycle
+    (2× forward cost: 232.6 ms measured; use only when memory-bound).
     """
     from ...models.wavenet import diffusion_step_embedding, swish
 
@@ -329,10 +376,12 @@ def wavenet_apply_stack(
         h = jnp.pad(h, ((0, 0), (0, L_pad - L), (0, 0)))
     skip_sum = jnp.zeros_like(h)
     if differentiable:
+        block_fn = residual_block_ad if grad_params else residual_block_ad_x
+
         def make_cycle(ns):
             def cyc(h, skip, pblocks):
                 for n, (tb, wd, bd, wrs, brs) in zip(ns, pblocks):
-                    h, skip = residual_block_ad(
+                    h, skip = block_fn(
                         h, skip, tb[0], wd[0], bd[0], wrs[0], brs[0],
                         dils[n], tiles[n], L, interpret)
                 return h, skip

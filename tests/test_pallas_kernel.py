@@ -269,3 +269,74 @@ def test_wavenet_apply_stack_differentiable_matches_flax_grads(rng_np):
     worst = max(jax.tree.leaves(jax.tree.map(rel, gv, gvr)))
     assert worst < 1e-3, worst
     assert rel(gx, gxr) < 1e-3
+
+
+def test_residual_block_ad_x_gradcheck(rng_np):
+    """Input-only Pallas VJP (residual_block_grad_x): waveform cotangents
+    match the reference block's autodiff; parameter cotangents are zero by
+    contract (attack mode) — interpret mode, f32."""
+    from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_group import (
+        reference_residual_group,
+    )
+    from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_stack import (
+        residual_block_ad_x,
+    )
+
+    B, C, Lr, Lp, TL = 2, 128, 1500, 2048, 1024
+    h0 = _rand(rng_np, B, Lp, C).at[:, Lr:].set(0.0)
+    skip0 = _rand(rng_np, B, Lp, C)
+    tb = _rand(rng_np, B, C)
+    wd = _rand(rng_np, 3, C, 2 * C, scale=0.05)
+    bd = _rand(rng_np, 2 * C)
+    wrs = _rand(rng_np, C, 2 * C, scale=0.05)
+    brs = _rand(rng_np, 2 * C)
+
+    for d in (1, 64, 512):
+        def f(h, skip, wd_):
+            h2, s2 = residual_block_ad_x(h, skip, tb, wd_, bd, wrs, brs, d, TL, Lr, True)
+            return jnp.sum(jnp.sin(h2[:, :Lr])) + jnp.sum(jnp.cos(s2[:, :Lr]))
+
+        def fref(h, skip):
+            h2, s2 = reference_residual_group(
+                h[:, :Lr], tb[None], wd[None], bd[None], wrs[None], brs[None], (d,))
+            return jnp.sum(jnp.sin(h2)) + jnp.sum(jnp.cos(skip[:, :Lr] + s2))
+
+        gh, gs, gw = jax.grad(f, argnums=(0, 1, 2))(h0, skip0, wd)
+        ghr, gsr = jax.grad(fref, argnums=(0, 1))(h0, skip0)
+        for name, a, b in zip(["dh", "dskip"], (gh, gs), (ghr, gsr)):
+            a, b = np.asarray(a)[:, :Lr], np.asarray(b)[:, :Lr]
+            rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+            assert rel < 2e-3, (d, name, rel)
+        assert np.abs(np.asarray(gw)).max() == 0.0  # attack-mode contract
+
+
+def test_wavenet_apply_stack_grad_params_false_input_grads(rng_np):
+    """Full differentiable stack in attack mode (grad_params=False): input
+    gradients must match flax autodiff exactly; interpret mode, f32."""
+    from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_stack import (
+        wavenet_apply_stack,
+    )
+    import flax
+
+    model = WaveNet(res_channels=128, skip_channels=128, num_res_layers=4, dilation_cycle=2,
+                    diffusion_step_embed_dim_in=8, diffusion_step_embed_dim_mid=16,
+                    diffusion_step_embed_dim_out=16)
+    variables = flax.core.unfreeze(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 2048)), jnp.zeros((1, 1))))
+    fc2 = variables["params"]["final_conv2"]["Conv_0"]
+    fc2["kernel"] = _rand(rng_np, *fc2["kernel"].shape)
+    x = _rand(rng_np, 2, 1, 2000)
+    t = jnp.asarray([[3.0], [7.0]])
+
+    def loss_stack(x):
+        return jnp.sum(jnp.tanh(wavenet_apply_stack(
+            variables, x, t, num_res_layers=4, dilation_cycle=2, dtype=jnp.float32,
+            differentiable=True, grad_params=False, interpret=True)))
+
+    def loss_flax(x):
+        return jnp.sum(jnp.tanh(model.apply(variables, x, t)))
+
+    gx = jax.grad(loss_stack)(x)
+    gxr = jax.grad(loss_flax)(x)
+    rel = np.abs(np.asarray(gx) - np.asarray(gxr)).max() / (np.abs(np.asarray(gxr)).max() + 1e-9)
+    assert rel < 1e-3, rel
