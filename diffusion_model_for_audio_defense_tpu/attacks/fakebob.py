@@ -90,7 +90,8 @@ class FAKEBOB:
         self.threshold = float(np.mean(estimates)) if estimates else None
         return self.threshold
 
-    def _estimate_threshold_run(self, x, step, decision_fn, rng, max_outer: int = 20):
+    def _estimate_threshold_run(self, x, step, decision_fn, rng, max_outer: int = 20,
+                                max_inner: int = 200):
         rng, k0 = jax.random.split(rng)
         scores = self.model_fn(x, k0)
         if int(decision_fn(scores)[0]) != -1:
@@ -109,7 +110,11 @@ class FAKEBOB:
             estimator = nes_grad(self.model_fn, loss_fn, self.samples_per_draw, self.sigma)
             last_ls = []
             lr = self.max_lr
-            while True:
+            # bounded, unlike the reference's unbounded loop (black_box_attack.py
+            # :254-295): if NES can't raise the score to the candidate within
+            # max_inner steps (insensitive model / tiny epsilon), give up on
+            # this candidate instead of spinning forever
+            for _ in range(max_inner):
                 rng, kq = jax.random.split(rng)
                 scores = self.model_fn(adver_x, kq)
                 score = float(jnp.max(scores[0]))
@@ -127,6 +132,8 @@ class FAKEBOB:
                     lr = max(lr / self.plateau_drop, self.min_lr)
                     last_ls = []
                 adver_x = jnp.clip(adver_x + grad_sign * lr * jnp.sign(grad), lower, upper)
+            else:
+                return None  # NES stalled below the candidate — no estimate from this input
             threshold += delta
         return None
 

@@ -80,23 +80,31 @@ def make_smoothed_counts_fn(
             xb = transform(xb)
         return jnp.argmax(classifier(xb), axis=-1)
 
+    def _chunk_histogram(xi, key, sigma, t_star, sqrt_abar_star, valid):
+        # one chunk of `batch_size` noisy draws of a single utterance xi
+        # (1, L) → masked class-count histogram (C,). Shared by both shard_map
+        # bodies so the predict pipeline / noise / masking can never diverge
+        # between the n0 selection pass and the main counting pass.
+        x_rep = jnp.broadcast_to(xi, (batch_size,) + xi.shape)
+        delta = sigma * jax.random.normal(key, x_rep.shape, dtype=x_rep.dtype)
+        preds = _predict(x_rep + delta, t_star, sqrt_abar_star)
+        onehot = jax.nn.one_hot(preds, num_classes, dtype=jnp.int32) * valid[:, None].astype(jnp.int32)
+        return onehot.sum(axis=0)
+
     def _device_counts(chunks_per_dev, x, sigma, t_star, sqrt_abar_star, rng, n_arr):
         # runs per device under shard_map; x (1,1,L) replicated
         didx = jax.lax.axis_index(axis)
         key = jax.random.fold_in(rng, didx)
         n = n_arr[0]
-        x_rep = jnp.broadcast_to(x, (batch_size,) + x.shape[1:])
 
         def chunk(carry, ck):
             counts, key = carry
             key, k1 = jax.random.split(key)
-            delta = sigma * jax.random.normal(k1, x_rep.shape, dtype=x_rep.dtype)
-            preds = _predict(x_rep + delta, t_star, sqrt_abar_star)
             # global draw index of each element in this chunk (device-major)
             base = (didx * chunks_per_dev + ck) * batch_size
             valid = base + jnp.arange(batch_size) < n
-            onehot = jax.nn.one_hot(preds, num_classes, dtype=jnp.int32) * valid[:, None].astype(jnp.int32)
-            return (counts + onehot.sum(axis=0), key), None
+            hist = _chunk_histogram(x[0], k1, sigma, t_star, sqrt_abar_star, valid)
+            return (counts + hist, key), None
 
         counts0 = jnp.zeros((num_classes,), dtype=jnp.int32)
         (counts, _), _ = jax.lax.scan(chunk, (counts0, key), jnp.arange(chunks_per_dev))
@@ -118,13 +126,10 @@ def make_smoothed_counts_fn(
             j = g % chunks_per_utt
             key, k1 = jax.random.split(key)
             xi = jax.lax.dynamic_index_in_dim(x_all, u, axis=0, keepdims=False)
-            x_rep = jnp.broadcast_to(xi, (batch_size,) + xi.shape)
-            delta = sigma * jax.random.normal(k1, x_rep.shape, dtype=x_rep.dtype)
-            preds = _predict(x_rep + delta, t_star, sqrt_abar_star)
             valid = (j * batch_size + jnp.arange(batch_size) < n) & (
                 g < n_utt * chunks_per_utt)
-            onehot = jax.nn.one_hot(preds, num_classes, dtype=jnp.int32) * valid[:, None].astype(jnp.int32)
-            return (counts.at[u].add(onehot.sum(axis=0)), key), None
+            hist = _chunk_histogram(xi, k1, sigma, t_star, sqrt_abar_star, valid)
+            return (counts.at[u].add(hist), key), None
 
         counts0 = jnp.zeros((n_utt, num_classes), dtype=jnp.int32)
         (counts, _), _ = jax.lax.scan(chunk, (counts0, key), jnp.arange(chunks_per_dev))

@@ -73,20 +73,27 @@ def load_diffwave_eps_fn(args, fast: bool = False):
     workloads (certify, sampling) — ~2x the XLA forward on v5e. Otherwise
     (attack/gradient workloads) the TPU path is the DIFFERENTIABLE Pallas
     stack in input-grad-only mode (``grad_params=False`` — adaptive attacks
-    differentiate w.r.t. the waveform; 1.7x XLA AD on v5e); disable with
-    ``args.no_pallas_grad``. Falls back to the XLA path on CPU or
-    non-lane-aligned channels."""
+    differentiate w.r.t. the waveform; 1.7x XLA AD on v5e). Opt out with
+    ``--use_pallas 0`` (certify/inference) or ``--no_pallas_grad`` (attack
+    CLIs) — both reach the plain XLA ``wavenet.apply``. Falls back to the
+    XLA path automatically on CPU or kernel-incompatible channel configs.
+    Compute dtype follows ``args.bf16`` when the CLI defines it, else the
+    model's own dtype (f32 when unset)."""
     import json
+
+    # --bf16/--no-bf16 (certify CLI): override the model compute dtype
+    bf16 = getattr(args, "bf16", None)
+    dtype_override = {} if bf16 is None else {"dtype": jnp.bfloat16 if bf16 else None}
 
     cfg_path = getattr(args, "ddpm_config", None)
     if cfg_path and os.path.isfile(cfg_path):
         with open(cfg_path) as f:
             cfg = json.load(f)
-        wavenet = wavenet_from_config(cfg["wavenet_config"])
+        wavenet = wavenet_from_config(cfg["wavenet_config"], **dtype_override)
         dc = cfg["diffusion_config"]
         schedule = linear_schedule(dc["T"], dc["beta_0"], dc["beta_T"])
     else:
-        wavenet = WaveNet()
+        wavenet = WaveNet(**dtype_override)
         schedule = linear_schedule(200)
 
     path = getattr(args, "ddpm_path", None)
@@ -97,19 +104,26 @@ def load_diffwave_eps_fn(args, fast: bool = False):
     else:
         print(f"[warn] DiffWave checkpoint not found at {path!r}; using random init", file=sys.stderr)
         variables = wavenet.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 16000)), jnp.zeros((1, 1)))
-    pallas_ok = jax.default_backend() != "cpu" and wavenet.res_channels % 128 == 0
+    use_pallas = getattr(args, "use_pallas", None)  # None = flag not in this CLI
+    pallas_ok = (
+        (use_pallas is None or bool(use_pallas))
+        and jax.default_backend() != "cpu"
+        and wavenet.res_channels % 128 == 0
+        and wavenet.skip_channels == wavenet.res_channels  # kernel concatenates res|skip slabs
+    )
+    dtype = wavenet.dtype or jnp.float32
     if fast and pallas_ok:
         from ..ops.pallas.wavenet_stack import wavenet_apply_stack
 
         eps_fn = lambda x, t: wavenet_apply_stack(
             variables, x, t[:, None], num_res_layers=wavenet.num_res_layers,
-            dilation_cycle=wavenet.dilation_cycle)
+            dilation_cycle=wavenet.dilation_cycle, dtype=dtype)
     elif pallas_ok and not getattr(args, "no_pallas_grad", False):
         from ..ops.pallas.wavenet_stack import wavenet_apply_stack
 
         eps_fn = lambda x, t: wavenet_apply_stack(
             variables, x, t[:, None], num_res_layers=wavenet.num_res_layers,
-            dilation_cycle=wavenet.dilation_cycle, dtype=wavenet.dtype or jnp.float32,
+            dilation_cycle=wavenet.dilation_cycle, dtype=dtype,
             differentiable=True, grad_params=False)
     else:
         eps_fn = lambda x, t: wavenet.apply(variables, x, t[:, None])

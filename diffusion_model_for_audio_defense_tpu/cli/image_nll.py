@@ -85,6 +85,8 @@ def main(argv=None):
         rescale_learned_sigmas=args.rescale_learned_sigmas,
         timestep_respacing=args.timestep_respacing,
     )
+    if not args.model_path:
+        raise SystemExit("--model_path is required (torch .pt/.pth file or an Orbax checkpoint dir)")
     if args.model_path.endswith(".pt") or args.model_path.endswith(".pth"):
         variables = load_unet_checkpoint(args.model_path, learn_sigma=args.learn_sigma)
     else:

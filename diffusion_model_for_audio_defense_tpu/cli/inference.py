@@ -24,7 +24,9 @@ def build_parser():
     p.add_argument("--output_directory", type=str, default="speeches")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_pallas", type=int, default=1,
-                   help="fused Pallas WaveNet forward for sampling (TPU only)")
+                   help="fused Pallas WaveNet forward for sampling (TPU only); 0 = plain XLA")
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
     return p
 
 
@@ -33,7 +35,8 @@ def main(argv=None):
     from ._common import load_diffwave_eps_fn
     from ..utils import audio_save
 
-    ns = argparse.Namespace(ddpm_config=args.config, ddpm_path=args.ckpt_path)
+    ns = argparse.Namespace(ddpm_config=args.config, ddpm_path=args.ckpt_path,
+                            use_pallas=args.use_pallas, bf16=args.bf16)
     # sampling is forward-only: fused Pallas stack when on TPU
     _, _, eps_fn, schedule = load_diffwave_eps_fn(ns, fast=bool(args.use_pallas))
 

@@ -26,6 +26,9 @@ def build_parser():
     p.add_argument("--t", type=int, default=1)
     p.add_argument("--t_delta", type=int, default=15)
     p.add_argument("--rand_t", action="store_true", default=False)
+    p.add_argument("--no_pallas_grad", action="store_true", default=False,
+                   help="disable the differentiable Pallas WaveNet stack "
+                        "for attack gradients (fall back to XLA autodiff)")
     p.add_argument("--diffusion_type", type=str, default="ddpm")
     p.add_argument("--score_type", type=str, default="guided_diffusion")
     p.add_argument("--use_bm", action="store_true", default=False)

@@ -42,24 +42,37 @@ def vpsde_reverse(
     eps_fn: EpsFn,
     schedule: DiffusionSchedule,
     x_t: jnp.ndarray,
-    t_star: int,
+    t_star,
     rng,
     beta_min: float | None = None,
     beta_max: float | None = None,
     remat: bool = True,
+    t_max: int | None = None,
 ) -> jnp.ndarray:
-    """Integrate the reverse VP-SDE from noise level ``t_star`` back to 0."""
+    """Integrate the reverse VP-SDE from noise level ``t_star`` back to 0.
+
+    ``t_star`` may be a traced scalar (e.g. the ``rand_t`` jitter drawn under
+    jit) if ``t_max`` bounds it: the Euler grid for any t* is an exact suffix
+    of the t_max grid (same 1/N lattice), so the scan runs the t_max grid and
+    masks the leading steps where τ < 1 − t*/N.
+    """
     N = schedule.T
     beta_0 = beta_min if beta_min is not None else schedule.beta_start * N
     beta_1 = beta_max if beta_max is not None else schedule.beta_end * N
-    taus, hs = _sde_grid(t_star, N)
+    static_t = t_max is None
+    taus, hs = _sde_grid(int(t_star) if static_t else int(t_max), N)
     keys = jax.random.split(rng, len(taus))
     bsz = x_t.shape[0]
+    taus_j = jnp.asarray(taus, jnp.float32)
+    if static_t:
+        active = jnp.ones((len(taus),), bool)
+    else:
+        active = taus_j >= 1.0 - (jnp.asarray(t_star, jnp.float32) + 0.5) / N
 
     one_minus_abar = 1.0 - schedule.alpha_bar  # (T,)
 
     def body(x, inp):
-        tau, h, key = inp
+        tau, h, key, on = inp
         s = 1.0 - tau  # physical diffusion time in (0, 1]
         beta_s = beta_0 + (s * N - 1.0) / (N - 1.0) * (beta_1 - beta_0)
         # reference _scale_timesteps truncates s·N, whose exact-math value is an
@@ -72,12 +85,12 @@ def vpsde_reverse(
         scale = jnp.where(d > 0, jnp.sqrt(one_minus_abar[jnp.maximum(d - 1, 0)] / one_minus_abar[d]), 0.0)
         g = scale * jnp.sqrt(beta_s)
         z = jax.random.normal(key, x.shape, dtype=x.dtype)
-        x = x + drift * h + g * jnp.sqrt(h) * z
+        x = jnp.where(on, x + drift * h + g * jnp.sqrt(h) * z, x)
         return x, None
 
     if remat:
         body = jax.checkpoint(body)
-    x0, _ = jax.lax.scan(body, x_t, (jnp.asarray(taus, jnp.float32), jnp.asarray(hs, jnp.float32), keys))
+    x0, _ = jax.lax.scan(body, x_t, (taus_j, jnp.asarray(hs, jnp.float32), keys, active))
     return x0
 
 
@@ -85,10 +98,11 @@ def vpsde_purify(
     eps_fn: EpsFn,
     schedule: DiffusionSchedule,
     x0: jnp.ndarray,
-    t_star: int,
+    t_star,
     rng,
     sample_step: int = 1,
     remat: bool = True,
+    t_max: int | None = None,
 ) -> jnp.ndarray:
     """Diffuse to t* then solve the reverse SDE; ``sample_step`` outer
     iterations are concatenated on the batch axis like the reference
@@ -97,7 +111,7 @@ def vpsde_purify(
     for key in jax.random.split(rng, sample_step):
         k1, k2 = jax.random.split(key)
         x_t = q_jump(schedule, x0, t_star, k1)
-        x0 = vpsde_reverse(eps_fn, schedule, x_t, t_star, k2, remat=remat)
+        x0 = vpsde_reverse(eps_fn, schedule, x_t, t_star, k2, remat=remat, t_max=t_max)
         outs.append(x0)
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
@@ -139,12 +153,14 @@ class RevDiffWavePurifier:
         return lambda x, t: self.apply_fn(self.params, x, t[:, None])
 
     def __call__(self, x, rng):
-        t_star = self.t
+        t_star, t_max = self.t, None
         if self.rand_t:
             # t* jitter (reference diffwave_sde.py:182-189). Drawn from the
-            # threaded key, not the global RNG, so runs are reproducible.
-            # t* fixes the static Euler grid, so the draw concretizes on the
-            # host — rand_t therefore needs a concrete (eager) key.
+            # threaded key, not the global RNG, so runs are reproducible —
+            # and kept traced so the purifier still jits (the scan runs the
+            # t+t_delta grid and masks steps above the drawn t*).
             rng, k = jax.random.split(rng)
-            t_star = self.t + int(jax.random.randint(k, (), -self.t_delta, self.t_delta))
-        return vpsde_purify(self.eps_fn, self.schedule, x, t_star, rng, sample_step=self.sample_step, remat=self.remat)
+            t_star = self.t + jax.random.randint(k, (), -self.t_delta, self.t_delta)
+            t_max = self.t + self.t_delta
+        return vpsde_purify(self.eps_fn, self.schedule, x, t_star, rng,
+                            sample_step=self.sample_step, remat=self.remat, t_max=t_max)

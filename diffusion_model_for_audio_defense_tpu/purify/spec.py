@@ -66,19 +66,25 @@ class ImprovedDiffusionPurifier:
 def spec_vpsde_reverse(
     model_fn: Callable,
     x_t: jnp.ndarray,
-    t_star: int,
+    t_star,
     rng,
     N: int = 1000,
     beta_min: float = 0.1,
     beta_max: float = 20.0,
     remat: bool = True,
+    t_max: int | None = None,
 ) -> jnp.ndarray:
     """Reverse VP-SDE on standardized spectrograms
     (reference ``improved_diffusion_sde.py:48-137``):
     β(s) = β₀ + s(β₁−β₀); score from the *continuous* ᾱ(s)
     = exp(-½(β₁−β₀)s² − β₀s); g = √β (no discrete scale factor here, unlike
-    the waveform variant)."""
-    t0 = 1.0 - t_star / N
+    the waveform variant).
+
+    ``t_star`` may be traced (``rand_t`` under jit) when ``t_max`` bounds it:
+    dt = 1/N, so the grid for any t* is a suffix of the t_max grid and the
+    scan masks the leading steps (same scheme as ``sde.vpsde_reverse``)."""
+    static_t = t_max is None
+    t0 = 1.0 - (int(t_star) if static_t else int(t_max)) / N
     t1 = 1.0 - 1e-5
     dt = 1e-3  # torchsde default when dt not passed (reference :202-204)
     grid = np.arange(t0, t1, dt)
@@ -86,9 +92,14 @@ def spec_vpsde_reverse(
     taus, hs = grid[:-1], np.diff(grid)
     keys = jax.random.split(rng, len(taus))
     bsz = x_t.shape[0]
+    taus_j = jnp.asarray(taus, jnp.float32)
+    if static_t:
+        active = jnp.ones((len(taus),), bool)
+    else:
+        active = taus_j >= 1.0 - (jnp.asarray(t_star, jnp.float32) + 0.5) / N
 
     def body(x, inp):
-        tau, h, key = inp
+        tau, h, key, on = inp
         s = 1.0 - tau
         beta_s = beta_min + s * (beta_max - beta_min)
         d = jnp.clip(jnp.round(s * N), 0, N).astype(jnp.float32)
@@ -98,11 +109,11 @@ def spec_vpsde_reverse(
         drift = -(-0.5 * beta_s * x - beta_s * score)
         g = jnp.sqrt(beta_s)
         z = jax.random.normal(key, x.shape, dtype=x.dtype)
-        return x + drift * h + g * jnp.sqrt(h) * z, None
+        return jnp.where(on, x + drift * h + g * jnp.sqrt(h) * z, x), None
 
     if remat:
         body = jax.checkpoint(body)
-    x0, _ = jax.lax.scan(body, x_t, (jnp.asarray(taus, jnp.float32), jnp.asarray(hs, jnp.float32), keys))
+    x0, _ = jax.lax.scan(body, x_t, (taus_j, jnp.asarray(hs, jnp.float32), keys, active))
     return x0
 
 
@@ -125,16 +136,17 @@ class RevImprovedDiffusionPurifier:
     def __call__(self, spec: jnp.ndarray, rng) -> jnp.ndarray:
         x0 = melspec_standardize(spec)
         outs = []
-        t_star = self.t
+        t_star, t_max = self.t, None
         if self.rand_t:
-            # t* jitter from the threaded key (reproducible); concretized on
-            # the host because t* selects the static reverse grid.
+            # t* jitter from the threaded key (reproducible) — kept traced so
+            # the purifier still jits; the reverse scan masks steps above t*.
             rng, k = jax.random.split(rng)
-            t_star = self.t + int(jax.random.randint(k, (), -self.t_delta, self.t_delta))
+            t_star = self.t + jax.random.randint(k, (), -self.t_delta, self.t_delta)
+            t_max = self.t + self.t_delta
         for key in jax.random.split(rng, self.sample_step):
             k1, k2 = jax.random.split(key)
             e = jax.random.normal(k1, x0.shape, dtype=x0.dtype)
             x_t = x0 * self._sqrt_a[t_star - 1] + e * self._sqrt_1ma[t_star - 1]
-            x0 = spec_vpsde_reverse(self.model_fn, x_t, t_star, k2, self.N, self.beta_min, self.beta_max)
+            x0 = spec_vpsde_reverse(self.model_fn, x_t, t_star, k2, self.N, self.beta_min, self.beta_max, t_max=t_max)
             outs.append(melspec_inv_standardize(x0))
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]

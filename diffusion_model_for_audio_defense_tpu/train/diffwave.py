@@ -159,8 +159,8 @@ class DiffWaveTrainer:
         it = max(iters)
         path = os.path.join(self.output_directory, f"ckpt_{it}")
         try:
-            raw = self._load(path)
-            if isinstance(raw, dict) and "opt_state" in raw:
+            try:
+                # common case: one typed restore of the full train state
                 state = self._load(
                     path,
                     target={
@@ -173,7 +173,9 @@ class DiffWaveTrainer:
                 self.opt_state = state["opt_state"]
                 self.rng = jnp.asarray(state["rng"])
                 print(f"resumed from iteration {it} (params+opt+rng)")
-            else:
+            except Exception:
+                # legacy params-only checkpoint: structure mismatch above
+                raw = self._load(path)
                 self.params = raw["params"]
                 self.opt_state = self.opt.init(self.params)
                 print(f"resumed from iteration {it} (params only; fresh optimizer)")

@@ -127,3 +127,51 @@ def test_split_dataset_cli(tmp_path):
     assert os.path.exists(tmp_path / "valid" / "yes" / "0.wav")
     assert os.path.exists(tmp_path / "test" / "yes" / "1.wav")
     assert os.path.exists(tmp_path / "train" / "yes" / "2.wav")
+
+
+def test_sde_toy_cli(tmp_path):
+    """The toy VP-SDE harness: exact-score reverse solve recovers the bimodal
+    mixture (validates the Euler-Maruyama scan used by the purifiers)."""
+    from diffusion_model_for_audio_defense_tpu.cli import sde_toy
+
+    ed = sde_toy.main(["--n_samples", "1024", "--T", "100",
+                       "--plot", str(tmp_path / "toy.png")])
+    assert ed < 0.2 and (tmp_path / "toy.png").exists()
+
+
+def test_eps_fn_routing_flags(monkeypatch):
+    """--use_pallas 0 and --no-bf16 reach the XLA/f32 path even when the
+    backend reports TPU (regression: fast=False used to fall through to the
+    differentiable-Pallas branch)."""
+    import argparse
+
+    import jax as _jax
+    import jax.numpy as jnp
+
+    from diffusion_model_for_audio_defense_tpu.cli import _common
+
+    ns = lambda **kw: argparse.Namespace(ddpm_config=None, ddpm_path=None, **kw)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+
+    wn, _, eps_off, _ = _common.load_diffwave_eps_fn(ns(use_pallas=0, bf16=True), fast=False)
+    # the XLA closure's freevars are (variables, wavenet); the pallas ones capture wavenet_apply_stack
+    assert "wavenet_apply_stack" not in eps_off.__code__.co_freevars
+    assert wn.dtype == jnp.bfloat16  # --bf16 honored
+
+    wn2, _, eps_f32, _ = _common.load_diffwave_eps_fn(ns(use_pallas=1, bf16=False), fast=True)
+    assert wn2.dtype is None  # --no-bf16 -> f32 compute
+    assert "wavenet_apply_stack" in eps_f32.__code__.co_freevars
+
+    # skip_channels != res_channels must fall back to XLA (kernel concatenates res|skip)
+    import json, tempfile, os
+    cfg = {"wavenet_config": {"res_channels": 128, "skip_channels": 256, "num_res_layers": 2,
+                              "dilation_cycle": 2},
+           "diffusion_config": {"T": 10, "beta_0": 1e-4, "beta_T": 0.02}}
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        json.dump(cfg, f); path = f.name
+    try:
+        ns_sk = argparse.Namespace(ddpm_config=path, ddpm_path=None, use_pallas=1, bf16=True)
+        _, _, eps_sk, _ = _common.load_diffwave_eps_fn(ns_sk, fast=True)
+        assert "wavenet_apply_stack" not in eps_sk.__code__.co_freevars
+    finally:
+        os.unlink(path)

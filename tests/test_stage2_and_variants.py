@@ -94,3 +94,26 @@ def test_rand_t_keyed_and_reproducible(rng_np):
     np.random.seed(999)
     w2 = w(xw, jax.random.PRNGKey(3))
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=0)
+
+
+def test_rand_t_jits_with_traced_key(rng_np):
+    """The rand_t jitter must stay traced: attack CLIs jit the whole system
+    with the PRNG key as an argument, so int(randint(...)) would raise
+    ConcretizationTypeError. The masked-suffix scan keeps it jittable, and
+    eager == jitted for the same key."""
+    from diffusion_model_for_audio_defense_tpu.purify.sde import RevDiffWavePurifier
+
+    eps_fn = lambda x, t: 0.05 * jnp.tanh(x)
+    w = RevDiffWavePurifier.from_eps_fn(eps_fn, t=10, rand_t=True, t_delta=4)
+    xw = jnp.asarray(rng_np.standard_normal((1, 1, 256)).astype(np.float32) * 0.1)
+    jitted = jax.jit(lambda x, k: w(x, k))
+    out_j = jitted(xw, jax.random.PRNGKey(3))
+    out_e = w(xw, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(out_j), np.asarray(out_e), atol=1e-6)
+
+    model_fn = lambda x, t: 0.05 * jnp.tanh(x)
+    p = RevImprovedDiffusionPurifier(model_fn, t=20, rand_t=True, t_delta=5)
+    spec = jnp.asarray(rng_np.uniform(-90, 30, (1, 1, 32, 32)).astype(np.float32))
+    sp_j = jax.jit(lambda x, k: p(x, k))(spec, jax.random.PRNGKey(9))
+    sp_e = p(spec, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(np.asarray(sp_j), np.asarray(sp_e), atol=1e-4)
