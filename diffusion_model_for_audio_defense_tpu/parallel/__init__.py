@@ -1,2 +1,3 @@
 from .mesh import device_mesh, data_shard, replicate  # noqa: F401
 from .multihost import process_shard_kwargs, setup_dist  # noqa: F401
+from .sequence import make_sp_forward, sequence_sharding, shard_waveform  # noqa: F401
