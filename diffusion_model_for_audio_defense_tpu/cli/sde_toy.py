@@ -73,16 +73,23 @@ def main(argv=None):
     eps_fn = _mixture_eps_fn(schedule, args.mode, args.scale)
 
     k0, k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed), 3)
-    # start from the t=T marginal (≈ standard normal for this schedule)
-    x_T = jax.random.normal(k0, (args.n_samples, 1, 1))
-    x_0 = vpsde_reverse(eps_fn, schedule, x_T, args.T, k1)
-    x_0 = np.asarray(x_0).ravel()
-
     signs = jax.random.bernoulli(k2, 0.5, (args.n_samples,))
     data = np.asarray(
         jnp.where(signs, args.mode, -args.mode)
         + args.scale * jax.random.normal(jax.random.fold_in(k2, 1), (args.n_samples,))
     )
+
+    # seed the reverse solve from the TRUE t=T marginal by q-jumping an
+    # INDEPENDENT mixture draw (ᾱ(T) is not ~0 for this schedule, so N(0,1)
+    # would bias the start) — exactly how the purifiers enter the reverse SDE
+    from ..purify.ddpm import q_jump
+
+    signs2 = jax.random.bernoulli(jax.random.fold_in(k2, 2), 0.5, (args.n_samples,))
+    seed_draws = (jnp.where(signs2, args.mode, -args.mode)
+                  + args.scale * jax.random.normal(jax.random.fold_in(k2, 3), (args.n_samples,)))
+    x_T = q_jump(schedule, seed_draws[:, None, None], args.T, k0)
+    x_0 = vpsde_reverse(eps_fn, schedule, x_T, args.T, k1)
+    x_0 = np.asarray(x_0).ravel()
 
     frac_pos = float((x_0 > 0).mean())
     mode_mean = float(np.abs(x_0).mean())

@@ -50,13 +50,14 @@ def make_sp_forward(
 
     XLA's SPMD partitioner inserts the halo exchanges the dilated convs
     need; nothing model-side changes (this is the whole point of building
-    the models as plain sharding-agnostic functions).
+    the models as plain sharding-agnostic functions). Only the waveform's
+    sharding is pinned — params and t keep whatever placement the caller
+    gave them (replicated, or tp-sharded for sp×tp composition).
     """
     wave = sequence_sharding(mesh, axis, batch_axis)
-    rep = NamedSharding(mesh, P())
     return jax.jit(
         model_apply,
-        in_shardings=(rep, wave, rep),
+        in_shardings=(None, wave, None),
         out_shardings=wave,
     )
 

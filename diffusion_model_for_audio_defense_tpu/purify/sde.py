@@ -38,6 +38,16 @@ def _sde_grid(t_star: int, N: int, epsilon_dt1: float = 1e-5):
     return taus, hs
 
 
+def grid_active_mask(taus_j: jnp.ndarray, t_star, N: int, dt: float) -> jnp.ndarray:
+    """Steps of the t_max Euler grid that a (possibly traced) ``t_star``
+    actually runs: τ ≥ 1 − t*/N, with a ½·dt tolerance so lattice round-off
+    can't drop/add a step. Exact (the active steps are precisely the static
+    t* grid) whenever 1/N is an integer multiple of ``dt`` — always true for
+    the waveform solver (dt = 1/N) and for the spec solver's torchsde default
+    dt=1e-3 with N dividing 1000."""
+    return taus_j >= 1.0 - jnp.asarray(t_star, jnp.float32) / N - 0.5 * dt
+
+
 def vpsde_reverse(
     eps_fn: EpsFn,
     schedule: DiffusionSchedule,
@@ -67,7 +77,7 @@ def vpsde_reverse(
     if static_t:
         active = jnp.ones((len(taus),), bool)
     else:
-        active = taus_j >= 1.0 - (jnp.asarray(t_star, jnp.float32) + 0.5) / N
+        active = grid_active_mask(taus_j, t_star, N, 1.0 / N)
 
     one_minus_abar = 1.0 - schedule.alpha_bar  # (T,)
 
@@ -158,9 +168,12 @@ class RevDiffWavePurifier:
             # t* jitter (reference diffwave_sde.py:182-189). Drawn from the
             # threaded key, not the global RNG, so runs are reproducible —
             # and kept traced so the purifier still jits (the scan runs the
-            # t+t_delta grid and masks steps above the drawn t*).
+            # t+t_delta grid and masks steps above the drawn t*). Clamped to
+            # [1, t_max]: t + randint can go <= 0 at small t (the CLIs default
+            # t=1..5 with t_delta=15), which would silently skip purification
+            # and wrap the q_jump schedule index.
             rng, k = jax.random.split(rng)
-            t_star = self.t + jax.random.randint(k, (), -self.t_delta, self.t_delta)
             t_max = self.t + self.t_delta
+            t_star = jnp.clip(self.t + jax.random.randint(k, (), -self.t_delta, self.t_delta), 1, t_max)
         return vpsde_purify(self.eps_fn, self.schedule, x, t_star, rng,
                             sample_step=self.sample_step, remat=self.remat, t_max=t_max)

@@ -81,8 +81,11 @@ def spec_vpsde_reverse(
     the waveform variant).
 
     ``t_star`` may be traced (``rand_t`` under jit) when ``t_max`` bounds it:
-    dt = 1/N, so the grid for any t* is a suffix of the t_max grid and the
-    scan masks the leading steps (same scheme as ``sde.vpsde_reverse``)."""
+    the scan runs the t_max grid and masks the leading steps (same scheme as
+    ``sde.vpsde_reverse``; exact suffix when 1/N is a multiple of dt=1e-3,
+    i.e. N divides 1000 — see ``sde.grid_active_mask``)."""
+    from .sde import grid_active_mask
+
     static_t = t_max is None
     t0 = 1.0 - (int(t_star) if static_t else int(t_max)) / N
     t1 = 1.0 - 1e-5
@@ -96,7 +99,7 @@ def spec_vpsde_reverse(
     if static_t:
         active = jnp.ones((len(taus),), bool)
     else:
-        active = taus_j >= 1.0 - (jnp.asarray(t_star, jnp.float32) + 0.5) / N
+        active = grid_active_mask(taus_j, t_star, N, dt)
 
     def body(x, inp):
         tau, h, key, on = inp
@@ -140,9 +143,11 @@ class RevImprovedDiffusionPurifier:
         if self.rand_t:
             # t* jitter from the threaded key (reproducible) — kept traced so
             # the purifier still jits; the reverse scan masks steps above t*.
+            # Clamped to [1, t_max] so small t can't yield t* <= 0 (which
+            # would skip purification and wrap the schedule index).
             rng, k = jax.random.split(rng)
-            t_star = self.t + jax.random.randint(k, (), -self.t_delta, self.t_delta)
             t_max = self.t + self.t_delta
+            t_star = jnp.clip(self.t + jax.random.randint(k, (), -self.t_delta, self.t_delta), 1, t_max)
         for key in jax.random.split(rng, self.sample_step):
             k1, k2 = jax.random.split(key)
             e = jax.random.normal(k1, x0.shape, dtype=x0.dtype)

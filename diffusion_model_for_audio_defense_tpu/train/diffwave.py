@@ -159,8 +159,15 @@ class DiffWaveTrainer:
         it = max(iters)
         path = os.path.join(self.output_directory, f"ckpt_{it}")
         try:
-            try:
-                # common case: one typed restore of the full train state
+            # branch on checkpoint STRUCTURE via orbax metadata (no array
+            # reads) so legacy params-only checkpoints are detected without
+            # a blanket except that could silently downgrade a failed full
+            # restore to params-only; each path then reads the data ONCE
+            import orbax.checkpoint as ocp
+
+            meta = ocp.PyTreeCheckpointer().metadata(os.path.abspath(path))
+            has_opt = "opt_state" in meta.item_metadata.tree
+            if has_opt:
                 state = self._load(
                     path,
                     target={
@@ -173,8 +180,7 @@ class DiffWaveTrainer:
                 self.opt_state = state["opt_state"]
                 self.rng = jnp.asarray(state["rng"])
                 print(f"resumed from iteration {it} (params+opt+rng)")
-            except Exception:
-                # legacy params-only checkpoint: structure mismatch above
+            else:
                 raw = self._load(path)
                 self.params = raw["params"]
                 self.opt_state = self.opt.init(self.params)

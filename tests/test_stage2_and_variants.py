@@ -117,3 +117,44 @@ def test_rand_t_jits_with_traced_key(rng_np):
     sp_j = jax.jit(lambda x, k: p(x, k))(spec, jax.random.PRNGKey(9))
     sp_e = p(spec, jax.random.PRNGKey(9))
     np.testing.assert_allclose(np.asarray(sp_j), np.asarray(sp_e), atol=1e-4)
+
+
+def test_rand_t_clamps_low_t(rng_np):
+    """t=1 with t_delta=15 (the CLI defaults) must clamp t* to >= 1 instead of
+    drawing t* <= 0 (which would skip purification and wrap the schedule
+    index)."""
+    from diffusion_model_for_audio_defense_tpu.purify.sde import RevDiffWavePurifier
+
+    eps_fn = lambda x, t: 0.05 * jnp.tanh(x)
+    w = RevDiffWavePurifier.from_eps_fn(eps_fn, t=1, rand_t=True, t_delta=15)
+    xw = jnp.asarray(rng_np.standard_normal((1, 1, 256)).astype(np.float32) * 0.1)
+    for seed in range(4):
+        out = jax.jit(lambda x, k: w(x, k))(xw, jax.random.PRNGKey(seed))
+        assert np.isfinite(np.asarray(out)).all()
+        # a clamped t* >= 1 runs at least one reverse step, so the output is
+        # never exactly the q-jumped input passthrough
+        assert float(jnp.abs(out).max()) < 10.0
+
+
+def test_grid_active_mask_matches_static_grid():
+    """The masked-suffix scheme: for every t* <= t_max the active steps of
+    the t_max grid are exactly the static t* grid (wave dt=1/N; spec dt=1e-3
+    with N dividing 1000)."""
+    from diffusion_model_for_audio_defense_tpu.purify.sde import _sde_grid, grid_active_mask
+
+    N, t_max = 200, 25
+    taus_max, _ = _sde_grid(t_max, N)
+    for t_star in (1, 2, 7, 24, 25):
+        taus_static, _ = _sde_grid(t_star, N)
+        active = np.asarray(grid_active_mask(jnp.asarray(taus_max, jnp.float32), t_star, N, 1.0 / N))
+        assert active.sum() == len(taus_static), (t_star, active.sum(), len(taus_static))
+        np.testing.assert_allclose(taus_max[active], taus_static, atol=1e-6)
+
+    # spec solver lattice: dt = 1e-3 fixed, N = 500 (1/N = 2*dt)
+    dt, N2, t_max2 = 1e-3, 500, 30
+    grid = np.arange(1.0 - t_max2 / N2, 1.0 - 1e-5, dt)
+    taus2 = np.concatenate([grid, [1.0 - 1e-5]])[:-1]
+    for t_star in (1, 9, 30):
+        static = np.arange(1.0 - t_star / N2, 1.0 - 1e-5, dt)
+        active = np.asarray(grid_active_mask(jnp.asarray(taus2, jnp.float32), t_star, N2, dt))
+        assert active.sum() == len(static), (t_star, active.sum(), len(static))
