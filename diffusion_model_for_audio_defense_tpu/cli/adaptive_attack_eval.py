@@ -40,7 +40,8 @@ def build_parser():
     parser.add_argument("--rand_t", action="store_true", default=False)
     parser.add_argument("--diffusion_type", type=str, default="ddpm", help="[ddpm, sde]")
     parser.add_argument("--score_type", type=str, default="guided_diffusion")
-    parser.add_argument("--use_bm", action="store_true", default=False)
+    parser.add_argument("--use_bm", action="store_true", default=False,
+                        help="accepted for reference-CLI compatibility; a no-op here - the Euler-Maruyama scan draws noise from the threaded PRNG key, so SDE paths are always reproducible (the reference needs torchsde BrownianInterval for this)")
     parser.add_argument("--no_pallas_grad", action="store_true", default=False,
                         help="disable the differentiable Pallas WaveNet stack "
                              "for attack gradients (fall back to XLA autodiff)")

@@ -31,7 +31,8 @@ def build_parser():
                         "for attack gradients (fall back to XLA autodiff)")
     p.add_argument("--diffusion_type", type=str, default="ddpm")
     p.add_argument("--score_type", type=str, default="guided_diffusion")
-    p.add_argument("--use_bm", action="store_true", default=False)
+    p.add_argument("--use_bm", action="store_true", default=False,
+                        help="accepted for reference-CLI compatibility; a no-op here - the Euler-Maruyama scan draws noise from the threaded PRNG key, so SDE paths are always reproducible (the reference needs torchsde BrownianInterval for this)")
     p.add_argument("--attack", type=str, choices=["CW", "Qin-I", "Kenansville", "FAKEBOB", "SirenAttack"], default="CW")
     p.add_argument("--defense", type=str,
                    choices=["Diffusion", "AS", "MS", "DS", "LPF", "BPF", "None"], default="None")
