@@ -7,6 +7,13 @@ equivalent is a ~20-line ``jax.lax.scan`` with per-step Gaussian increments.
 Gradients flow through the scan (with remat on the step body), replacing the
 adjoint method the reference needs only to bound memory.
 
+Intentional fixes vs the reference (documented deviations):
+- ``rand_t`` jitters BOTH the q-jump noise level and the reverse-integration
+  start. The reference noises to the jittered t* but always integrates from
+  the un-jittered ``1 - t/N`` (``diffwave_sde.py:185-193``), leaving the two
+  inconsistent; and its jitter can go <= 0 (wrapping the ᾱ index to the end
+  of the schedule — near-pure noise). Here t* is clamped to [1, t+t_delta].
+
 Math parity (reference ``RevVPSDE``, ``diffwave_sde.py:34-133``):
 - reversed time τ = 1 - t; at physical time s: β(s) = β₀ + (s·N-1)/(N-1)·(β₁-β₀)
 - score(x, s) = -ε_θ(x, d)/√(1-ᾱ_d) with discrete step d = ⌊s·N⌋

@@ -295,3 +295,27 @@ def test_fakebob_estimate_threshold_toy_osi(rng_np):
     atk2 = FAKEBOB(model_fn, task="OSI", verbose=0)
     assert atk2.estimate_threshold(
         x_acc, decision_fn=lambda s: make_decision(s, "OSI", true_theta)) is None
+
+
+def test_fakebob_estimate_threshold_terminates_on_stall(rng_np):
+    """A score-insensitive model (NES can't push the score up) used to spin
+    the inner estimation loop forever; with the max_inner bound it must
+    terminate and return None."""
+    import time
+
+    from diffusion_model_for_audio_defense_tpu.attacks import make_decision
+    from diffusion_model_for_audio_defense_tpu.attacks.fakebob import FAKEBOB
+
+    def model_fn(x, key=None):
+        b = x.shape[0]
+        return jnp.tile(jnp.asarray([[0.1, 0.05]]), (b, 1))  # constant scores
+
+    atk = FAKEBOB(model_fn, task="OSI", epsilon=0.01, samples_per_draw=4,
+                  sigma=0.01, verbose=0)
+    x = jnp.zeros((1, 1, 64))
+    t0 = time.time()
+    theta = atk.estimate_threshold(
+        x, step=0.5, decision_fn=lambda s: make_decision(s, "OSI", 5.0),
+        rng=jax.random.PRNGKey(0))
+    assert theta is None
+    assert time.time() - t0 < 300  # bounded, not an endless spin
