@@ -88,3 +88,30 @@ def test_sp_purify_one_shot(rng_np):
     fn = jax.jit(lambda xt: one_shot_denoise(eps_fn, sched, xt, 10), out_shardings=wave)
     out = fn(jax.device_put(xt, wave))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_pgd_attack_dp_sharded_matches(rng_np):
+    """Adaptive attack with the batch dp-sharded over 8 devices produces the
+    same adversarial examples as unsharded — attack eval scales by data
+    parallelism with no code changes (pure jitted steps + GSPMD)."""
+    from diffusion_model_for_audio_defense_tpu.attacks import AudioAttack
+
+    mesh = device_mesh(("dp",))
+    w = jnp.asarray(rng_np.standard_normal((64, 10)).astype(np.float32) * 0.3)
+
+    def model_fn(x, rng=None):
+        feats = jnp.tanh(x[:, 0, ::4].reshape(x.shape[0], -1, 64).mean(axis=1))
+        return feats @ w
+
+    x = jnp.asarray(rng_np.standard_normal((8, 1, 256)).astype(np.float32) * 0.2)
+    y = jnp.asarray(rng_np.integers(0, 10, (8,)))
+
+    def run(xin):
+        atk = AudioAttack(model_fn, eps=0.05, max_iter_1=8, max_iter_2=0, norm="linf")
+        adv, success = atk.generate(xin, y, targeted=False, rng=jax.random.PRNGKey(0))
+        return np.asarray(adv)
+
+    ref = run(x)
+    xsh = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    out = run(xsh)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
