@@ -65,8 +65,16 @@ class DataLoader:
             idx = rng.permutation(n)
         else:
             idx = np.arange(n)
-        # shard across processes (multi-host DP), DistributedSampler-style
-        return idx[self.process_index :: self.process_count]
+        # shard across processes (multi-host DP), DistributedSampler-style:
+        # pad to ceil(n/world)*world by wrapping (torch DistributedSampler
+        # semantics) so every process yields the SAME number of batches —
+        # unequal shards would desync collective train steps across hosts
+        if self.process_count > 1:
+            total = -(-len(idx) // self.process_count) * self.process_count
+            if total != len(idx):
+                idx = np.concatenate([idx, idx[: total - len(idx)]])
+            return idx[self.process_index :: self.process_count]
+        return idx
 
     def __len__(self):
         n = len(self._indices())

@@ -43,11 +43,12 @@ class _FolderDataset:
 
 class SpeechCommandsDataset(_FolderDataset):
     def __init__(self, folder, transform=None, classes=CLASSES, silence_percentage=0.1):
-        all_classes = [d for d in os.listdir(folder) if os.path.isdir(os.path.join(folder, d)) and not d.startswith("_")]
+        # the reference's ACTIVE path (sc_dataset.py:35) scans only the named
+        # classes — extra corpus folders (bed, bird, cat, ...) are excluded,
+        # NOT bucketed (its len(classes)-1 remap is dead code there and would
+        # mislabel them as the last class)
+        all_classes = [d for d in classes if os.path.isdir(os.path.join(folder, d)) and not d.startswith("_")]
         class_to_idx = {c: i for i, c in enumerate(classes)}
-        for c in all_classes:
-            if c not in class_to_idx:
-                class_to_idx[c] = len(classes) - 1  # 'unknown' bucket
         data = []
         for c in sorted(all_classes):
             d = os.path.join(folder, c)

@@ -83,8 +83,8 @@ class ResidualBlock(nn.Module):
     def __call__(self, x, t_embed):
         # per-layer FC of the shared 512-d timestep embedding, added per-channel
         part_t = nn.Dense(self.res_channels, dtype=self.dtype)(t_embed)  # (B, C)
-        h = x + part_t[:, None, :]
-        h = _WNConv(2 * self.res_channels, 3, self.dilation, self.use_weight_norm, dtype=self.dtype, name="dilated_conv")(h)
+        xt = x + part_t[:, None, :]
+        h = _WNConv(2 * self.res_channels, 3, self.dilation, self.use_weight_norm, dtype=self.dtype, name="dilated_conv")(xt)
         gate = jnp.tanh(h[..., : self.res_channels]) * nn.sigmoid(h[..., self.res_channels :])
         if self.fuse_res_skip and not self.use_weight_norm:
             # one (C → C_res+C_skip) matmul instead of two: gate is read once
@@ -95,7 +95,10 @@ class ResidualBlock(nn.Module):
         else:
             res = _WNConv(self.res_channels, 1, use_weight_norm=self.use_weight_norm, dtype=self.dtype, name="res_conv")(gate)
             skip = _WNConv(self.skip_channels, 1, use_weight_norm=self.use_weight_norm, dtype=self.dtype, name="skip_conv")(gate)
-        return (x + res) * math.sqrt(0.5), skip
+        # the reference's ``h += part_t`` (WaveNet.py:84) mutates x in place,
+        # so its residual is (x + part_t + res) — verified against the torch
+        # module; using bare x here would break real-checkpoint parity
+        return (xt + res) * math.sqrt(0.5), skip
 
 
 class _Conv0Params(nn.Module):

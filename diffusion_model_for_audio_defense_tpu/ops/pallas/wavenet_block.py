@@ -53,7 +53,9 @@ def _kernel(d, H, TL, L_real, C, x_prev, x_cur, x_next, t_bias, wd, bd, wrs, brs
     gate = (jnp.tanh(conv[:, :C]) * jax.nn.sigmoid(conv[:, C:])).astype(window.dtype)
     rs = jnp.dot(gate, wrs[:], preferred_element_type=acc_dtype) + brs[0][None, :]
 
-    h_out[0] = ((cur + rs[:, :C]) * math.sqrt(0.5)).astype(h_out.dtype)
+    # residual adds the t-biased input rows (reference's in-place ``h += part_t``);
+    # window rows [d, d+TL) are exactly cur + t_bias (masked)
+    h_out[0] = ((window[d:d + TL] + rs[:, :C]) * math.sqrt(0.5)).astype(h_out.dtype)
     skip_out[0] = rs[:, C:].astype(skip_out.dtype)
 
 
@@ -88,10 +90,14 @@ def fused_residual_block(
     b_dil = b_dil.astype(jnp.float32)[None, :]
     b_rs = b_rs.astype(jnp.float32)[None, :]
 
-    # halo inputs fetch exactly H = max(8, d) rows of the neighboring tiles
-    # instead of whole tiles — for small dilations this cuts the per-cell DMA
-    # from 3 full tiles to TL+2H rows
+    # halo inputs fetch exactly H rows of the neighboring tiles instead of
+    # whole tiles — for small dilations this cuts the per-cell DMA from 3
+    # full tiles to TL+2H rows. H must be pow2 (sublane-aligned) and divide
+    # TL, or the i*r-1 neighbor index maps silently fetch the wrong rows
+    # (same guards as wavenet_stack.py / wavenet_group.py).
     H = max(8, d)
+    H = 1 << (H - 1).bit_length()
+    assert H >= d and TL % H == 0, (d, H, TL)
     n_halo = L_pad // H
     view = lambda imap: pl.BlockSpec((1, TL, C), imap, memory_space=pltpu.VMEM)
     halo = lambda imap: pl.BlockSpec((1, H, C), imap, memory_space=pltpu.VMEM)
@@ -146,4 +152,6 @@ def reference_residual_block(h, t_bias, w_dil, b_dil, w_rs, b_rs, dilation: int 
     C = h.shape[-1]
     gate = jnp.tanh(conv[..., :C]) * jax.nn.sigmoid(conv[..., C:])
     rs = gate @ w_rs.astype(dtype) + b_rs.astype(dtype)[None, None, :]
-    return (h + rs[..., :C]) * math.sqrt(0.5), rs[..., C:]
+    # x (= h + part_t) in the residual: the reference's ``h += part_t``
+    # mutates its input in place (WaveNet.py:84)
+    return (x + rs[..., :C]) * math.sqrt(0.5), rs[..., C:]

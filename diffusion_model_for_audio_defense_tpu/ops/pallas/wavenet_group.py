@@ -71,7 +71,8 @@ def _group_kernel(dils, H, TL, L_real, C, x_prev, x_cur, x_next, t_bias, wd, bd,
         res = jnp.dot(gate, wrs[g, :, :C], preferred_element_type=acc_dtype) + brs[g, 0, :C][None, :]
         skip = jnp.dot(gate, wrs[g, :, C:], preferred_element_type=acc_dtype) + brs[g, 0, C:][None, :]
 
-        h_new = ((W[lo:hi] + res) * math.sqrt(0.5)).astype(W.dtype)
+        # residual adds X = h + part_t (reference's in-place ``h += part_t``)
+        h_new = ((X[lo:hi] + res) * math.sqrt(0.5)).astype(W.dtype)
         W_ref[lo:hi] = h_new
         # central TL rows of skip: buffer rows [H, H+TL) = skip rows [H-lo, H-lo+TL)
         skip_acc = skip_acc + skip[H - lo : H - lo + TL].astype(skip_acc.dtype)

@@ -27,11 +27,12 @@ B=64, L=16000, C=256, bf16 on v5e-1; 187 TF/s ≈ 95% of chip peak):
     sequence through data dependence, and barriers cost ~50 ms across the
     chain by stalling the DMA pipeline at every boundary.
 
-Per-block math (parity with ``WaveNet.py:53-97``):
+Per-block math (parity with ``WaveNet.py:53-97``; X = h + part_t because the
+reference's ``h += part_t`` mutates x in place, so part_t is in the residual):
     conv = Σ_k X[r+(k-1)d] @ Wd[k]  (k=3 taps, 'SAME' zero padding)
     gate = tanh(conv_a) · σ(conv_b)
     [res|skip] = gate @ Wrs + brs
-    h' = (h + res)·√½ ;  skip_sum += skip
+    h' = (X + res)·√½ ;  skip_sum += skip
 
 Validity bookkeeping: the scratch spans rows [i·TL−H, (i+1)·TL+H) with
 H = next_pow2(Σ dilations); each block consumes d of halo per side, rows
@@ -92,8 +93,11 @@ def _stack_kernel(dils, H, TL, L_real, C, NSPLIT,
             gate = (jnp.tanh(conv_a) * jax.nn.sigmoid(conv_b)).astype(W.dtype)
 
             rs = jnp.dot(gate, wrs[g], preferred_element_type=acc_dtype) + brs[g, 0][None, :]
+            # residual adds X = h + part_t (NOT bare h): the reference's
+            # ``h += part_t`` mutates x in place (WaveNet.py:84), so its
+            # residual is (x + part_t + res) — verified on the torch module
             W_ref[lo + off:lo + off + sz] = (
-                (W[lo + off:lo + off + sz] + rs[:, :C]) * math.sqrt(0.5)
+                (X[lo + off:lo + off + sz] + rs[:, :C]) * math.sqrt(0.5)
             ).astype(W.dtype)
             a = max(H - lo - off, 0)
             b_ = min(H + TL - lo - off, sz)

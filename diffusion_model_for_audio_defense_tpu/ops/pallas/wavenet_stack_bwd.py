@@ -5,12 +5,13 @@ Completes the differentiable fast path: training steps and adaptive attacks
 ``DiffWave_Unconditional/train.py`` loss grads) ride the same fused-kernel
 path as inference instead of XLA's generic fusions.
 
-Math (block forward, ``WaveNet.py:53-97`` parity):
+Math (block forward, ``WaveNet.py:53-97`` parity — note the reference's
+``h += part_t`` mutates x in place, so t_bias is in the residual too):
     X    = mask · (h_in + t_bias)
     pre  = Σ_k X[r+(k-1)d] @ Wd[k] + bd          (2C channels = [a|b])
     gate = tanh(pre_a) · σ(pre_b)
     rs   = gate @ Wrs + brs
-    h'   = (h_in + rs[:, :C]) · √½ ;  skip' = skip + rs[:, C:]
+    h'   = (X + rs[:, :C]) · √½ ;  skip' = skip + rs[:, C:]
 
 Backward given (dh', dskip'):
     d_rs   = [√½·dh' | dskip']
@@ -18,7 +19,7 @@ Backward given (dh', dskip'):
     dpre_a = dgate·σ(b)·(1−tanh²a) ;  dpre_b = dgate·tanh(a)·σ(b)(1−σ(b))
     dX[s]  = Σ_k dpre[s−(k−1)d] @ Wd[k]ᵀ
     dh_in  = √½·dh' + mask·dX ;  dskip_in = dskip' (pass-through)
-    dtb    = Σ_rows mask·dX ;   dWd[k] = X_shiftᵀ dpre ;  dWrs = gateᵀ d_rs
+    dtb    = Σ_rows mask·(dX + √½·dh') ;  dWd[k] = X_shiftᵀ dpre ;  dWrs = gateᵀ d_rs
 
 Design: the AD forward (``fused_block_fwd_pre``) STORES the pre-activation
 ``pre`` (B, L, 2C) alongside the chain state. The first version of this
@@ -75,7 +76,8 @@ def _block_fwd_pre_kernel(d, H, TL, L_real, C,
     # sigmoid stays f32: Mosaic's bf16 logistic lowering is broken (jax 0.9)
     gate = (jnp.tanh(pre[:, :C]) * jax.nn.sigmoid(pre[:, C:])).astype(W.dtype)
     rs = jnp.dot(gate, wrs[:], preferred_element_type=f32) + brs[0][None, :]
-    h_new = ((W[lo:hi] + rs[:, :C]) * _SQRT_HALF).astype(W.dtype)
+    # residual adds X = h + t_bias (reference's in-place ``h += part_t``)
+    h_new = ((X[lo:hi] + rs[:, :C]) * _SQRT_HALF).astype(W.dtype)
 
     # central TL rows sit at scratch [H, H+TL) ↔ computed rows [H-d, H-d+TL)
     c0 = H - d
@@ -225,7 +227,10 @@ def _block_bwd_kernel(d, HU, TL, L_pad, L_real, C,
     def _init_tb():
         dtb_out[0, 0] = jnp.zeros_like(dtb_out[0, 0])
 
-    dtb_out[0, 0] += jnp.sum(dX, axis=0).astype(dtb_out.dtype)
+    # conv path + the direct residual path (h' = (h+tb+rs)·√½ ⇒ ∂h'/∂tb ∋ √½)
+    dh_tile = jnp.where(vx_tile, dh[HU:HU + TL].astype(f32), 0.0)
+    dtb_out[0, 0] += (jnp.sum(dX, axis=0)
+                      + _SQRT_HALF * jnp.sum(dh_tile, axis=0)).astype(dtb_out.dtype)
 
     # weight grads use only the tile's own dpre rows (frame [HU, HU+TL)),
     # so halo rows are never double counted across tiles

@@ -13,14 +13,7 @@ from ..ops.filters import butter_design, lfilter
 from ..ops.resample import resample
 
 
-def _as_bt(audio):
-    if audio.ndim == 1:
-        return audio[None, :], audio.shape
-    if audio.ndim == 2:
-        return audio, audio.shape
-    if audio.ndim == 3:
-        return audio[:, 0, :], audio.shape
-    raise NotImplementedError("Audio Shape Error")
+from ._shapes import as_bt as _as_bt
 
 
 def DS(audio: jnp.ndarray, param: float = 0.5, fs: int = 16000, same_size: bool = True) -> jnp.ndarray:

@@ -13,14 +13,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _as_bt(audio):
-    if audio.ndim == 1:
-        return audio[None, :], audio.shape
-    if audio.ndim == 2:
-        return audio, audio.shape
-    if audio.ndim == 3:
-        return audio[:, 0, :], audio.shape
-    raise NotImplementedError("Audio Shape Error")
+from ._shapes import as_bt as _as_bt
 
 
 def AT(audio: jnp.ndarray, rng, param: float = 25.0) -> jnp.ndarray:

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..data.wav_io import read_wav
-from ..ops.mel import amplitude_to_db, MelSpectrogram
+from ..ops.mel import MelSpectrogram
 
 
 class Compose:
@@ -104,36 +104,16 @@ class StretchAudio:
         return data
 
     def _phase_vocoder(self, y: np.ndarray, rate: float) -> np.ndarray:
-        n_fft, hop = self.n_fft, self.hop
-        pad = n_fft // 2
-        yp = np.pad(y, (pad, pad))
-        n_frames = 1 + (len(yp) - n_fft) // hop
-        if n_frames < 2:
-            return y.astype(np.float32)
-        win = np.hanning(n_fft + 1)[:-1]
-        idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
-        D = np.fft.rfft(yp[idx] * win, axis=1).T  # (freq, time)
-        steps = np.arange(0, n_frames, rate)
-        phi_adv = np.linspace(0, np.pi * hop, D.shape[0])
-        out = np.zeros((D.shape[0], len(steps)), dtype=complex)
-        phase = np.angle(D[:, 0])
-        for t, step in enumerate(steps):
-            i0 = int(step)
-            i1 = min(i0 + 1, n_frames - 1)
-            frac = step - i0
-            mag = (1 - frac) * np.abs(D[:, i0]) + frac * np.abs(D[:, i1])
-            out[:, t] = mag * np.exp(1j * phase)
-            dphase = np.angle(D[:, i1]) - np.angle(D[:, i0]) - phi_adv
-            dphase -= 2 * np.pi * np.round(dphase / (2 * np.pi))
-            phase += phi_adv + dphase
-        frames = np.fft.irfft(out.T, axis=1) * win
-        y_out = np.zeros(hop * (len(steps) - 1) + n_fft)
-        wsum = np.zeros_like(y_out)
-        for t in range(len(steps)):
-            y_out[t * hop : t * hop + n_fft] += frames[t]
-            wsum[t * hop : t * hop + n_fft] += win**2
-        y_out = y_out / np.maximum(wsum, 1e-8)
-        return y_out[pad:-pad].astype(np.float32)
+        # composed from the shared STFT helpers (transforms_stft.py) so the
+        # vocoder core exists once; matches librosa.effects.time_stretch
+        # (reflect-centered stft, librosa-style 2-column pad in the vocoder)
+        from .transforms_stft import _np_istft, _np_stft, _phase_vocoder
+
+        D = _np_stft(np.asarray(y, np.float32), self.n_fft, self.hop)
+        if D.shape[1] < 2:
+            return np.asarray(y, np.float32)
+        out = _phase_vocoder(D, rate, self.hop)
+        return _np_istft(out, self.hop).astype(np.float32)
 
 
 class TimeshiftAudio:
@@ -177,6 +157,11 @@ class ToMelSpectrogram:
     def __call__(self, data):
         import jax.numpy as jnp
 
-        s = self.melspec(jnp.asarray(data["samples"])[None, :])[0]
-        data["mel_spectrogram"] = np.asarray(amplitude_to_db(s))
+        s = np.asarray(self.melspec(jnp.asarray(data["samples"])[None, :])[0])
+        # reference uses librosa.power_to_db(ref=np.max) with the default
+        # top_db=80 (transforms_wav.py:140): per-utterance max-referenced dB
+        # floored at -80 — same convention as ToMelSpectrogramFromSTFT
+        db = 10.0 * np.log10(np.maximum(s, 1e-10))
+        db -= 10.0 * np.log10(max(1e-10, float(s.max())))
+        data["mel_spectrogram"] = np.maximum(db, db.max() - 80.0)
         return data

@@ -92,3 +92,33 @@ def test_qualcomm_split(tmp_path):
     assert len(train) == 4 * 5
     paths = {p for p, _ in test.data} | {p for p, _ in valid.data} | {p for p, _ in train.data}
     assert len(paths) == 4 * 130  # disjoint cover
+
+
+def test_read_wav_float_and_extensible(tmp_path):
+    """read_wav decodes IEEE-float (tag 3) and WAVE_FORMAT_EXTENSIBLE wavs
+    correctly instead of misreading the bits as int32 PCM."""
+    import struct
+
+    from diffusion_model_for_audio_defense_tpu.data.wav_io import read_wav
+
+    x = (np.sin(np.linspace(0, 40, 1600)) * 0.5).astype(np.float32)
+    payload = x.astype("<f4").tobytes()
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 16000 * 4, 4, 32)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    p = tmp_path / "f32.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    y, sr = read_wav(str(p))
+    assert sr == 16000
+    np.testing.assert_allclose(y, x, atol=1e-7)
+
+    sub = struct.pack("<H", 3) + b"\x00\x00" + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt_ext = (struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 16000 * 4, 4, 32)
+               + struct.pack("<H", 22) + struct.pack("<H", 32) + struct.pack("<I", 4) + sub)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_ext)) + fmt_ext
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    p2 = tmp_path / "ext.wav"
+    p2.write_bytes(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    y2, _ = read_wav(str(p2))
+    np.testing.assert_allclose(y2, x, atol=1e-7)

@@ -3,10 +3,12 @@ reproduces the reference architecture (DiffWave_Unconditional/WaveNet.py)
 including weight_norm, exercising the checkpoint converter end-to-end."""
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 
@@ -41,10 +43,13 @@ class _Block(tnn.Module):
         self.skip_conv = tnn.utils.weight_norm(tnn.Conv1d(RES, SKIP, 1))
 
     def forward(self, x, emb):
-        h = x + self.fc_t(emb)[:, :, None]
-        h = self.dilated_conv_layer(h)
+        # the reference's ``h = x; h += part_t`` MUTATES x in place
+        # (WaveNet.py:78-84), so part_t participates in the residual add —
+        # the fixture reproduces that real semantics functionally
+        xt = x + self.fc_t(emb)[:, :, None]
+        h = self.dilated_conv_layer(xt)
         gate = torch.tanh(h[:, :RES]) * torch.sigmoid(h[:, RES:])
-        return (x + self.res_conv(gate)) * math.sqrt(0.5), self.skip_conv(gate)
+        return (xt + self.res_conv(gate)) * math.sqrt(0.5), self.skip_conv(gate)
 
 
 class _ResGroup(tnn.Module):
@@ -168,3 +173,48 @@ def test_scan_cycles_matches_unrolled(rng_np):
     a = np.asarray(fm.apply(variables, x, t))
     b = np.asarray(scanned.apply(sv, x, t))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+REFERENCE_DIR = "/root/reference/diffusion_models/DiffWave_Unconditional"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DIR), reason="reference repo not present")
+def test_wavenet_matches_real_reference_module(rng_np):
+    """Oracle test against the ACTUAL reference torch module (not our
+    fixture): catches semantics our fixture might idealize away — e.g. the
+    in-place ``h += part_t`` that puts part_t into the residual add."""
+    import sys
+
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        from WaveNet import WaveNet_Speech_Commands
+    finally:
+        sys.path.pop(0)
+
+    # the reference hardcodes .cuda() in its step embedding — run it on CPU
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.manual_seed(3)
+    ref = WaveNet_Speech_Commands(
+        in_channels=1, res_channels=RES, skip_channels=SKIP, out_channels=1,
+        num_res_layers=LAYERS, dilation_cycle=CYCLE,
+        diffusion_step_embed_dim_in=EMB_IN, diffusion_step_embed_dim_mid=EMB_MID,
+        diffusion_step_embed_dim_out=EMB_OUT).eval()
+    # zero-init head makes the check vacuous — randomize it
+    ref.final_conv[2].conv.weight.data.normal_()
+    ref.final_conv[2].conv.bias.data.normal_()
+
+    params = convert_diffwave_state_dict(ref.state_dict(), num_res_layers=LAYERS)
+    fm = WaveNet(res_channels=RES, skip_channels=SKIP, num_res_layers=LAYERS,
+                 dilation_cycle=CYCLE, diffusion_step_embed_dim_in=EMB_IN,
+                 diffusion_step_embed_dim_mid=EMB_MID, diffusion_step_embed_dim_out=EMB_OUT)
+
+    x = rng_np.standard_normal((2, 1, 64)).astype(np.float32)
+    t = np.array([[3.0], [17.0]], dtype=np.float32)
+    try:
+        with torch.no_grad():
+            golden = ref((torch.from_numpy(x), torch.from_numpy(t))).numpy()
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    ours = np.asarray(fm.apply({"params": params}, jnp.asarray(x), jnp.asarray(t)))
+    np.testing.assert_allclose(ours, golden, atol=2e-5, rtol=1e-4)
