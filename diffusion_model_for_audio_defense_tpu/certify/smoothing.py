@@ -207,13 +207,18 @@ class RandomizedSmoothing:
         abar = np.asarray(self.schedule.alpha_bar)
         return int(np.argmin(np.abs(abar - alpha_bar_star))) + 1
 
+    def _sigma_params(self, sigma: float):
+        """(t*, √ᾱ*) for a smoothing σ — ONE implementation of the denoised-
+        smoothing mapping (delegates to ``core.schedules.compute_t_star``)."""
+        if self.schedule is None:
+            return 1, 1.0
+        from ..core.schedules import compute_t_star as _cts
+
+        abar_star = 1.0 / (1.0 + sigma**2)
+        return _cts(self.schedule, sigma), abar_star**0.5
+
     def smooth_predict(self, x, num_sampling: int, sigma: float, rng) -> np.ndarray:
-        if self.schedule is not None:
-            abar_star = 1.0 / (1.0 + sigma**2)
-            t_star = self.compute_t_star(abar_star)
-            sqrt_abar_star = abar_star**0.5
-        else:
-            t_star, sqrt_abar_star = 1, 1.0
+        t_star, sqrt_abar_star = self._sigma_params(sigma)
         counts = self._counts_fn(x, sigma, t_star, sqrt_abar_star, num_sampling, rng)
         return np.asarray(counts)
 
@@ -221,12 +226,7 @@ class RandomizedSmoothing:
         """Counts for a whole batch of utterances ``x (Bu,1,L)`` in ONE sharded
         call — used for the cheap n0 selection pass so small-N work doesn't pay
         a host round-trip per utterance."""
-        if self.schedule is not None:
-            abar_star = 1.0 / (1.0 + sigma**2)
-            t_star = self.compute_t_star(abar_star)
-            sqrt_abar_star = abar_star**0.5
-        else:
-            t_star, sqrt_abar_star = 1, 1.0
+        t_star, sqrt_abar_star = self._sigma_params(sigma)
         counts = self._counts_fn.batch(x, sigma, t_star, sqrt_abar_star, num_sampling, rng)
         return np.asarray(counts)
 

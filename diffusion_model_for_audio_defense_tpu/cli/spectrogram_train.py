@@ -86,8 +86,12 @@ def main(argv=None):
         def init(self, k, x, t):
             return model.init(k, x, t)
 
-        def apply(self, p, x, t):
-            return diffusion.wrap_model(lambda xx, tt: model.apply(p, xx, tt, train=False))(x, t)
+        def apply(self, p, x, t, train=False, rngs=None):
+            # TrainLoop passes train=True + a dropout rng so the reference's
+            # dropout-0.3 training recipe is active; eval callers get the
+            # deterministic default
+            return diffusion.wrap_model(
+                lambda xx, tt: model.apply(p, xx, tt, train=train, rngs=rngs))(x, t)
 
     data = load_sc09_spectrogram_data(args.data_dir, args.batch_size)
     loop = TrainLoop(

@@ -46,7 +46,11 @@ class KWSModel(nn.Module):
         # with stride st[0] (reference ``sepconv``)
         x = nn.Conv(self.in_size, kernel_size=(self.kernel_size[1],), strides=(self.stride[1],),
                     feature_group_count=self.in_size, padding="VALID", name="depthwise")(x)
+        # the reference's pointwise conv is GROUPED: groups=int(in/k0)
+        # (model.py:11) — 1 for the shipped n_mels=32 checkpoints, 2 for the
+        # code-default in_size=40
         x = nn.Conv(self.hidden_size, kernel_size=(1,), strides=(self.stride[0],),
+                    feature_group_count=max(1, self.in_size // self.kernel_size[0]),
                     padding="VALID", name="pointwise")(x)
 
         h = _BiGRU(self.hidden_size, self.gru_num_layers, name="gru")(x)  # (B, T', 2H)

@@ -229,12 +229,16 @@ class WaveNet(nn.Module):
         elif self.use_pallas_groups and not self.use_weight_norm:
             from ..ops.pallas.wavenet_group import fused_residual_group
 
+            # same guard as wavenet_apply_pallas: a 4-byte compute dtype
+            # doubles the group's VMEM weight stash (~6.3 MB bf16 → ~12.6 MB
+            # f32 for a 6-block group) — disable grouping rather than overflow
+            budget = 64 if jnp.dtype(self.dtype or jnp.float32).itemsize < 4 else 0
             n = 0
             while n < self.num_res_layers:
                 group = []
                 while (
                     n < self.num_res_layers
-                    and sum(g[1] for g in group) + 2 ** (n % self.dilation_cycle) <= 64
+                    and sum(g[1] for g in group) + 2 ** (n % self.dilation_cycle) <= budget
                 ):
                     group.append((n, 2 ** (n % self.dilation_cycle)))
                     n += 1

@@ -111,7 +111,11 @@ class ClassifierTrainer:
         if mode == "adv":
             eps, alpha, n = adv
             frozen_loss = lambda xx, yy: self._forward_loss(params, batch_stats, xx, yy, k2, train=False)[0]
-            x = pgd_attack_waveform(frozen_loss, x, y, eps, alpha, n)
+            # reference pgd starts from delta ~ U[-eps, eps] clamped into
+            # [-1, 1] (adv_train_speech_commands.py:154-156), not zero
+            delta0 = eps * (2.0 * jax.random.uniform(k1, x.shape, dtype=x.dtype) - 1.0)
+            delta0 = jnp.clip(x + delta0, -1.0, 1.0) - x
+            x = pgd_attack_waveform(frozen_loss, x, y, eps, alpha, n, rand_init=delta0)
         elif mode == "gaussian":
             x = x + sigma * jax.random.normal(k1, x.shape, dtype=x.dtype)
 

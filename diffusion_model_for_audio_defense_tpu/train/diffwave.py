@@ -203,6 +203,7 @@ class DiffWaveTrainer:
 
     def train(self, data_iter, max_iters: Optional[int] = None):
         end = min(self.n_iters, self.n_iter + max_iters) if max_iters else self.n_iters
+        loss = jnp.float32(float("nan"))  # resumed-at-end / max_iters=0: no steps run
         while self.n_iter < end:
             batch = next(data_iter)
             x = jnp.asarray(batch if not isinstance(batch, dict) else batch["samples"])

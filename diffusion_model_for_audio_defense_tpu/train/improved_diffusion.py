@@ -77,23 +77,38 @@ class TrainLoop:
         sched = (
             optax.linear_schedule(lr, 0.0, lr_anneal_steps) if lr_anneal_steps else lr
         )
-        self.opt = optax.chain(
-            optax.add_decayed_weights(weight_decay) if weight_decay else optax.identity(),
-            optax.adamw(sched) if weight_decay else optax.adam(sched),
-        )
+        # reference: torch AdamW(lr, weight_decay=wd) — DECOUPLED decay once
+        # (train_util.py:107); adam when wd=0 matches AdamW(wd=0)
+        self.opt = optax.adamw(sched, weight_decay=weight_decay) if weight_decay else optax.adam(sched)
         self.opt_state = self.opt.init(self.params)
         self.ema_params = [jax.tree.map(lambda p: p, self.params) for _ in self.ema_rate]
         if self.step > 0:
             self._restore_opt_ema()
 
         n_micro = self.batch_size // self.microbatch
-        model_fn_of = lambda params: (lambda x, t: model.apply(params, x, t))
+        # train=True + a dropout rng: the reference trains the UNet with its
+        # dropout (0.3 by default, script_util.py:24) active. Passed only
+        # when the (possibly duck-typed) apply accepts the kwargs.
+        import inspect
+
+        try:
+            ap = inspect.signature(model.apply).parameters
+            dropout_capable = "train" in ap or any(
+                p.kind == p.VAR_KEYWORD for p in ap.values())
+        except (TypeError, ValueError):
+            dropout_capable = False
+        if dropout_capable:
+            model_fn_of = lambda params, dkey: (
+                lambda x, t: model.apply(params, x, t, train=True, rngs={"dropout": dkey}))
+        else:
+            model_fn_of = lambda params, dkey: (lambda x, t: model.apply(params, x, t))
 
         def loss_over_micro(params, batch, ts, ws, rng):
             # batch (n_micro, m, ...), ts/ws (n_micro, m): scan accumulates
             def micro(acc, inp):
                 xb, tb, wb, key = inp
-                terms = self.diffusion.training_losses(model_fn_of(params), xb, tb, key)
+                k_noise, k_drop = jax.random.split(key)
+                terms = self.diffusion.training_losses(model_fn_of(params, k_drop), xb, tb, k_noise)
                 return acc + jnp.mean(terms["loss"] * wb) / n_micro, terms["loss"]
 
             keys = jax.random.split(rng, n_micro)
