@@ -105,9 +105,16 @@ class FAKEBOB:
 
         adver_x = x
         grad = jnp.zeros_like(x)
+        # ONE jitted estimator for the whole search: the candidate threshold
+        # is a traced loss arg, so raising it costs nothing (the old
+        # per-candidate resolve_loss closure recompiled the full system
+        # forward on every bump — minutes each on TPU)
+        from .losses import margin_loss
+
+        _, grad_sign = resolve_loss("Margin", False, 0.0, self.task, threshold, clip_max=False)
+        loss_th = lambda s, yy, th: margin_loss(s, yy, False, 0.0, self.task, th, clip_max=False)
+        estimator = nes_grad(self.model_fn, loss_th, self.samples_per_draw, self.sigma)
         for _ in range(max_outer):
-            loss_fn, grad_sign = resolve_loss("Margin", False, 0.0, self.task, threshold, clip_max=False)
-            estimator = nes_grad(self.model_fn, loss_fn, self.samples_per_draw, self.sigma)
             last_ls = []
             lr = self.max_lr
             # bounded, unlike the reference's unbounded loop (black_box_attack.py
@@ -124,7 +131,7 @@ class FAKEBOB:
                     break  # candidate too low; raise it and keep pushing
                 rng, k = jax.random.split(rng)
                 prev_grad = grad
-                mean_loss, g, _, _, _ = estimator(adver_x, y, k)
+                mean_loss, g, _, _, _ = estimator(adver_x, y, k, jnp.float32(threshold))
                 grad = self.momentum * prev_grad + (1.0 - self.momentum) * g
                 ml = float(np.asarray(mean_loss)[0])
                 last_ls = (last_ls + [ml])[-self.plateau_length:]

@@ -15,10 +15,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .losses import resolve_prediction
 
 
-def _nes_core(model_fn, loss_fn, samples_per_draw, sigma, decision_fn, x, y, rng):
+def _nes_core(model_fn, loss_fn, samples_per_draw, sigma, decision_fn, x, y, rng, *loss_args):
+    # antithetic pairs: samples_per_draw must be even (validated in nes_grad)
     bsz, nch, length = x.shape
     half = samples_per_draw // 2
     k_noise, k_model = jax.random.split(rng)
@@ -29,7 +29,7 @@ def _nes_core(model_fn, loss_fn, samples_per_draw, sigma, decision_fn, x, y, rng
     eval_y = jnp.repeat(y, samples_per_draw + 1)
 
     scores = model_fn(eval_x, k_model)  # (B*(S+1), C)
-    loss = loss_fn(scores, eval_y).reshape(bsz, samples_per_draw + 1)
+    loss = loss_fn(scores, eval_y, *loss_args).reshape(bsz, samples_per_draw + 1)
     decide = decision_fn if decision_fn is not None else partial(jnp.argmax, axis=-1)
     decisions = decide(scores).reshape(bsz, samples_per_draw + 1)
 
@@ -50,10 +50,14 @@ def nes_grad(
     """Returns jitted ``estimate(x, y, rng) -> (mean_loss, grad, adver_loss,
     adver_score, predict)`` with ``predict`` the clean-point decision
     (argmax, or ``decision_fn(scores)`` for threshold tasks where −1=reject)."""
+    if samples_per_draw % 2:
+        raise ValueError(f"samples_per_draw must be even (antithetic pairs), got {samples_per_draw}")
     core = jax.jit(partial(_nes_core, model_fn, loss_fn, samples_per_draw, sigma, decision_fn))
 
-    def estimate(x, y, rng):
-        mean_loss, grad, adver_loss, adver_score, decisions = core(x, y, rng)
+    def estimate(x, y, rng, *loss_args):
+        # extra traced args flow to loss_fn(scores, y, *loss_args) — e.g. the
+        # FAKEBOB threshold candidate, so threshold sweeps reuse one compile
+        mean_loss, grad, adver_loss, adver_score, decisions = core(x, y, rng, *loss_args)
         predict = np.asarray(decisions[:, 0])
         return mean_loss, grad, adver_loss, adver_score, predict
 

@@ -106,12 +106,18 @@ class AudioAttack:
         self.verbose = verbose
         self._targeted = False
 
+        # optional live model state: model_fn may accept (x, rng, *state) and
+        # generate(..., model_state=(params, ...)) threads it as TRACED args —
+        # the weights can change every call without retracing (adv_finetune
+        # attacks the current weights each batch, like the reference's
+        # in-place-updated torch modules)
+        self._mstate = ()
         self._eot = EOT(model_fn, cross_entropy, eot_size=max(eot_attack_size, eot_defense_size))
-        self._plain_scores = jax.jit(model_fn)
+        self._plain_scores = jax.jit(lambda x, rng, st: model_fn(x, rng, *st))
 
-        def loss_and_grad(x, y, rng):
+        def loss_and_grad(x, y, rng, st):
             def f(xx):
-                return jnp.sum(cross_entropy(self.model_fn(xx, rng), y))
+                return jnp.sum(cross_entropy(model_fn(xx, rng, *st), y))
 
             return jax.grad(f)(x)
 
@@ -119,9 +125,10 @@ class AudioAttack:
 
     # ------------------------------------------------------------- stage 1
 
-    def generate(self, x, y, targeted: bool = True, rng=None):
+    def generate(self, x, y, targeted: bool = True, rng=None, model_state=()):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._targeted = targeted
+        self._mstate = tuple(model_state)
         x = jnp.asarray(x)
         y = jnp.asarray(y)
         k1, k2 = jax.random.split(rng)
@@ -133,16 +140,18 @@ class AudioAttack:
 
     def _predict(self, x_pert, y, rng):
         if self.eot_defense_size > 1:
-            scores, _, _, _ = self._eot(x_pert, y, rng, eot_size=self.eot_defense_size, use_grad=False)
+            scores, _, _, _ = self._eot(x_pert, y, rng, eot_size=self.eot_defense_size,
+                                        use_grad=False, model_state=self._mstate)
         else:
-            scores = self._plain_scores(x_pert, rng)
+            scores = self._plain_scores(x_pert, rng, self._mstate)
         return np.asarray(jnp.argmax(scores, axis=-1))
 
     def _grad(self, x_pert, y, rng):
         if self.eot_attack_size > 1:
-            _, _, grad, _ = self._eot(x_pert, y, rng, eot_size=self.eot_attack_size, use_grad=True)
+            _, _, grad, _ = self._eot(x_pert, y, rng, eot_size=self.eot_attack_size,
+                                      use_grad=True, model_state=self._mstate)
         else:
-            grad = self._plain_grad(x_pert, y, rng)
+            grad = self._plain_grad(x_pert, y, rng, self._mstate)
         return grad
 
     def stage_1(self, x, y, rng):

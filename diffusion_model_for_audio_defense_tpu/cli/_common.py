@@ -192,11 +192,16 @@ def build_system(args, classifier_apply, n_mels: int = 32):
     return system
 
 
-def build_attacker(args, system):
-    """The 5 attack choices (adaptive_attack_eval.py:181-231)."""
+def build_attacker(args, system, model_fn=None):
+    """The 5 attack choices (adaptive_attack_eval.py:181-231).
+
+    ``model_fn`` overrides the default defended-forward closure — e.g.
+    adv_finetune passes a state-aware fn (x, rng, params, batch_stats) so the
+    attacker sees LIVE weights each batch without retracing."""
     from ..attacks import AudioAttack, FAKEBOB, Kenansville, PsychoacousticMasker, SirenAttack
 
-    model_fn = lambda x, rng: system(x, rng, defend=True)
+    if model_fn is None:
+        model_fn = lambda x, rng: system(x, rng, defend=True)
     if args.attack == "CW":
         return AudioAttack(
             model_fn,

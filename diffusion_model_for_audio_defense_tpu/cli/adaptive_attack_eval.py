@@ -120,6 +120,7 @@ def main(argv=None):
 
         if args.save_path is not None:
             clean_path, adv_path = os.path.join(args.save_path, "clean"), os.path.join(args.save_path, "adv")
+            spec_adv = system.transform(adv) if system.defense_type == "spec" else None
             for i in range(waveforms.shape[0]):
                 audio_id = str(total + i).zfill(3)
                 if system.defense_type == "wave":
@@ -130,7 +131,7 @@ def main(argv=None):
                 else:
                     utils.spec_save(spec[i], clean_path, f"{audio_id}_{targets[i]}_clean.png")
                     utils.spec_save(spec_def[i], clean_path, f"{audio_id}_{targets[i]}_clean_purified.png")
-                    utils.spec_save(system.transform(adv)[i], adv_path, f"{audio_id}_{targets[i]}_adv.png")
+                    utils.spec_save(spec_adv[i], adv_path, f"{audio_id}_{targets[i]}_adv.png")
                     utils.spec_save(adv_def[i], adv_path, f"{audio_id}_{targets[i]}_adv_purified.png")
 
         total += waveforms.shape[0]

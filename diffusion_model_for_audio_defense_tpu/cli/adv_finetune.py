@@ -1,9 +1,18 @@
 """Adversarial finetuning of the (defended) classifier.
 
-Rebuild of ``adv_finetune.py``: generate CW adversarial examples against the
-current system each epoch and finetune the classifier on them with SGD
-(lr=1e-3, reference ``:240-262``). The reference's argument-order bug
-``criterion(targets, pred_adv)`` (``:260``) is fixed here.
+Rebuild of ``adv_finetune.py``: per batch, generate CW adversarial examples
+against the CURRENT weights and finetune the classifier on the DEFENDED
+forward of those examples with SGD (lr=1e-3, reference ``:240-262``).
+
+Intentional fixes vs the reference (documented deviations):
+- ``criterion(targets, pred_adv)`` argument-order bug (``:260``) fixed;
+- the reference never calls ``opt.zero_grad()`` (gradients accumulate
+  forever) — here each step uses fresh grads;
+- the reference's SGD nominally covers ALL AS_MODEL parameters incl. the
+  purifier; here the optimizer covers the classifier (grads still flow
+  through the purifier), which is the recoverable intent of the recipe.
+Live weights reach the attacker as traced ``model_state`` so the attack
+graph compiles once for the whole run.
 """
 
 from __future__ import annotations
@@ -58,31 +67,42 @@ def main(argv=None):
     from ..attacks.losses import cross_entropy
     from ..core.checkpoint import save_pytree
     from ..data import DataLoader, SC09Dataset
-    from ..models import create_model
     from ..ops import Wave2Spect
     from ..system import AcousticSystem
     from ..transforms import Compose, FixAudioLength, LoadAudio
 
-    model = create_model(args.classifier_model, num_classes=10, in_channels=1)
-    _, variables, _ = build_classifier(args)
+    model, variables, _ = build_classifier(args)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    w2s = Wave2Spect(n_mels=32)
+    # m5 takes the raw waveform (reference adv_finetune.py:115,159)
+    w2s = None if args.classifier_model == "m5" else Wave2Spect(n_mels=32)
 
     defender, defense_type, stochastic = build_defender(args)
     tx = optax.sgd(args.lr, momentum=0.9)
     opt_state = tx.init(params)
 
-    def system_of(p, bs):
+    def defended_forward(p, bs, x, rng, train=False, drop_rng=None):
+        # defender → transform → classifier with explicit (traced) weights:
+        # the reference's pred_adv = AS_MODEL(waveforms_adv) defended forward
         apply_fn = lambda s: model.apply({"params": p, "batch_stats": bs}, s)
-        return AcousticSystem(apply_fn, w2s, defender, defense_type, defender_stochastic=stochastic)
+        if train:
+            apply_fn = lambda s: model.apply(
+                {"params": p, "batch_stats": bs}, s, train=True,
+                mutable=["batch_stats"], rngs={"dropout": drop_rng})
+        system = AcousticSystem(apply_fn, w2s, defender, defense_type, defender_stochastic=stochastic)
+        return system(x, rng, defend=True)
+
+    # live weights flow to the attacker as TRACED model_state, so the whole
+    # run compiles the attack graph ONCE and still attacks the current
+    # weights every batch (the reference's torch modules update in place)
+    attack_model = lambda x, rng, p, bs: defended_forward(p, bs, x, rng)
 
     @jax.jit
     def finetune_step(p, bs, opt_state, x_adv, y, rng):
+        k_def, k_drop = jax.random.split(rng)
+
         def loss_fn(pp):
-            inp = w2s(x_adv)
-            logits, mut = model.apply({"params": pp, "batch_stats": bs}, inp, train=True,
-                                      mutable=["batch_stats"], rngs={"dropout": rng})
+            logits, mut = defended_forward(pp, bs, x_adv, k_def, train=True, drop_rng=k_drop)
             return jnp.mean(cross_entropy(logits, y)), mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(p)
@@ -92,19 +112,23 @@ def main(argv=None):
     dataset = SC09Dataset(folder=args.data_path, transform=Compose([LoadAudio(), FixAudioLength()]),
                           num_per_class=args.num_per_class)
     rng = jax.random.PRNGKey(args.seed)
+    if args.attack not in ("CW", "Qin-I"):
+        raise SystemExit("adv_finetune supports the white-box CW/Qin-I attacks "
+                         "(the reference finetunes against CW); black-box attacks "
+                         "don't take live model state")
+    attacker = build_attacker(args, None, model_fn=attack_model)
 
     for epoch in range(args.epochs):
         loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=True, seed=epoch)
-        system = system_of(params, batch_stats)
-        attacker = build_attacker(args, system)
-        losses, accs = [], []
+        losses = []
         for bi, batch in enumerate(loader):
             if args.max_batches is not None and bi >= args.max_batches:
                 break
             x = jnp.asarray(batch["samples"])[:, None, :]
             y = jnp.asarray(batch["target"])
             rng, k_atk, k_tr = jax.random.split(rng, 3)
-            adv, _ = attacker.generate(x, y, targeted=False, rng=k_atk)
+            adv, _ = attacker.generate(x, y, targeted=False, rng=k_atk,
+                                       model_state=(params, batch_stats))
             params, batch_stats, opt_state, loss = finetune_step(
                 params, batch_stats, opt_state, jnp.asarray(adv, x.dtype), y, k_tr
             )

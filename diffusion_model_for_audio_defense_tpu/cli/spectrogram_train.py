@@ -94,13 +94,26 @@ def main(argv=None):
                 lambda xx, tt: model.apply(p, xx, tt, train=train, rngs=rngs))(x, t)
 
     data = load_sc09_spectrogram_data(args.data_dir, args.batch_size)
+    resume_params = None
+    if args.resume_checkpoint:
+        # explicit resume (reference train_util.py:114-121); .pt converts,
+        # orbax dirs restore natively. Auto-discovery in save_dir still
+        # applies when the flag is empty.
+        if args.resume_checkpoint.endswith((".pt", ".pth")):
+            from ..core.checkpoint import load_unet_checkpoint
+
+            resume_params = load_unet_checkpoint(args.resume_checkpoint, learn_sigma=args.learn_sigma)
+        else:
+            from ..core.checkpoint import load_pytree
+
+            resume_params = load_pytree(args.resume_checkpoint)
     loop = TrainLoop(
         _Wrapped(), diffusion, data, batch_size=args.batch_size, microbatch=args.microbatch,
         lr=args.lr, ema_rate=args.ema_rate, log_interval=args.log_interval,
         save_interval=args.save_interval, lr_anneal_steps=args.lr_anneal_steps,
         weight_decay=args.weight_decay,
         schedule_sampler=create_named_schedule_sampler(args.schedule_sampler, diffusion.num_timesteps),
-        save_dir=args.save_dir,
+        save_dir=args.save_dir, resume_params=resume_params,
     )
     loop.run_loop(max_steps=args.max_steps or None)
 

@@ -72,7 +72,8 @@ def main(argv=None):
         save_dir=args.save_dir, sample_input=jnp.zeros((1, 1, 3 * 32 * 32)),
     )
     if args.classifier_path:
-        trainer.state = load_pytree(args.classifier_path)
+        # typed restore: optax namedtuple opt_state comes back as dicts otherwise
+        trainer.state = load_pytree(args.classifier_path, target=trainer.state)
 
     if args.eval_only:
         loss, acc = trainer.evaluate(test_loader)

@@ -73,7 +73,7 @@ def main(argv=None):
     model = create_model(args.model, num_classes=num_classes, in_channels=1)
     is_wave_model = args.model == "m5"
     transform = None if is_wave_model else Wave2Spect(n_mels=32)
-    sample = jnp.zeros((1, 1, 16000)) if is_wave_model else jnp.zeros((1, 1, 16000))
+    sample = jnp.zeros((1, 1, 16000))  # waveform seam; trainer applies `transform` for spec models
 
     save_dir = args.save_dir or f"checkpoints/{args.model}_sgd_plateau_bs{args.batch_size}_lr{args.lr:.1e}_wd{args.weight_decay:.1e}"
     tlog.configure(save_dir, ["stdout", "csv"])
