@@ -97,6 +97,7 @@ class TrainLoop:
                 p.kind == p.VAR_KEYWORD for p in ap.values())
         except (TypeError, ValueError):
             dropout_capable = False
+        self.dropout_capable = dropout_capable  # introspectable (and tested)
         if dropout_capable:
             model_fn_of = lambda params, dkey: (
                 lambda x, t: model.apply(params, x, t, train=True, rngs={"dropout": dkey}))

@@ -181,3 +181,60 @@ def test_trainloop_auto_resume(tmp_path, rng_np):
     loop2 = TrainLoop(wrapped, d, iter(data), batch_size=2, lr=1e-3,
                       save_interval=100, save_dir=str(tmp_path / "ck"))
     assert loop2.step == 2  # resumed from model000002
+
+
+def test_trainloop_dropout_active(tmp_path, rng_np):
+    """The UNet must train with dropout ACTIVE (reference recipe: 0.3): the
+    train-capable wrapper is detected by TrainLoop, and train=True with
+    different dropout rngs changes the forward (a deterministic forward
+    would make them equal)."""
+    from diffusion_model_for_audio_defense_tpu.models.unet import create_unet
+
+    model = create_unet(num_channels=16, num_res_blocks=1, dropout=0.5)
+    d = create_gaussian_diffusion(steps=20)
+
+    class W:
+        def init(self, k, x, t):
+            return model.init(k, x, t)
+
+        def apply(self, p, x, t, train=False, rngs=None):
+            return d.wrap_model(lambda xx, tt: model.apply(p, xx, tt, train=train, rngs=rngs))(x, t)
+
+    data = itertools.cycle([np.asarray(rng_np.standard_normal((2, 1, 32, 32)), np.float32)])
+    tlog.configure(str(tmp_path), ["csv"])
+    loop = TrainLoop(W(), d, iter(data), batch_size=2, microbatch=2, lr=1e-3,
+                     save_interval=10**6, save_dir=str(tmp_path / "ck"))
+    assert loop.dropout_capable  # the train/rngs kwargs were detected
+
+    w = W()
+    # zero-init out_conv makes random-init outputs exactly 0 — randomize it
+    # so the dropout comparison is not vacuously 0 == 0 (CLAUDE.md trap)
+    import flax
+
+    params = flax.core.unfreeze(loop.params)
+    oc = params["params"]["out_conv"]
+    oc["kernel"] = jnp.asarray(rng_np.standard_normal(oc["kernel"].shape).astype(np.float32) * 0.1)
+    # ...and every ResBlock's own out_conv is zero-init too (OpenAI
+    # zero_module parity) — the dropout sits before it, so randomize one
+    # block's to make the dropout observable
+    rc = params["params"]["mid_res_0"]["out_conv"]
+    rc["kernel"] = jnp.asarray(rng_np.standard_normal(rc["kernel"].shape).astype(np.float32) * 0.1)
+    loop.params = params
+    x = jnp.asarray(rng_np.standard_normal((2, 1, 32, 32)).astype(np.float32))
+    t = jnp.zeros((2,), jnp.int32)
+    o1 = w.apply(loop.params, x, t, train=True, rngs={"dropout": jax.random.PRNGKey(0)})
+    o2 = w.apply(loop.params, x, t, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    o3 = w.apply(loop.params, x, t)  # deterministic eval path
+    o4 = w.apply(loop.params, x, t)
+    assert float(jnp.abs(o1 - o2).max()) > 0, "dropout inactive under train=True"
+    np.testing.assert_allclose(np.asarray(o3), np.asarray(o4), atol=0)
+
+    # duck-typed train-less wrappers still work (capability off)
+    legacy = type("M", (), {"init": lambda self, k, x, t: model.init(k, x, t),
+                            "apply": lambda self, p, x, t: d.wrap_model(
+                                lambda xx, tt: model.apply(p, xx, tt))(x, t)})()
+    loop2 = TrainLoop(legacy, d, iter(data), batch_size=2, lr=1e-3,
+                      save_interval=10**6, save_dir=str(tmp_path / "ck2"))
+    assert not loop2.dropout_capable
+    loop2.run_loop(max_steps=1)
+    assert loop2.step == 1
