@@ -204,8 +204,12 @@ class RandomizedSmoothing:
         )
 
     def compute_t_star(self, alpha_bar_star: float) -> int:
-        abar = np.asarray(self.schedule.alpha_bar)
-        return int(np.argmin(np.abs(abar - alpha_bar_star))) + 1
+        # API mirror of the reference method; delegates to the single
+        # implementation in core.schedules (alpha_bar* = 1/(1+sigma^2))
+        from ..core.schedules import compute_t_star as _cts
+
+        sigma = math.sqrt(max(1.0 / alpha_bar_star - 1.0, 0.0))
+        return _cts(self.schedule, sigma)
 
     def _sigma_params(self, sigma: float):
         """(t*, √ᾱ*) for a smoothing σ — ONE implementation of the denoised-

@@ -111,16 +111,17 @@ def main(argv=None):
 
         adv, attack_success = attacker.generate(waveforms, jnp.asarray(targets), targeted=False, rng=k_atk)
         adv = jnp.asarray(adv, waveforms.dtype)
+        spec_adv = None
         if system.defense_type == "wave":
             adv_def = adv if system.defender is None else system._run_defender(adv, k_adv)
         else:
-            adv_def = system.transform(adv)
+            spec_adv = system.transform(adv)  # pre-defense spectrogram (also saved below)
+            adv_def = spec_adv
             if system.defender is not None:
                 adv_def = system._run_defender(adv_def, k_adv)
 
         if args.save_path is not None:
             clean_path, adv_path = os.path.join(args.save_path, "clean"), os.path.join(args.save_path, "adv")
-            spec_adv = system.transform(adv) if system.defense_type == "spec" else None
             for i in range(waveforms.shape[0]):
                 audio_id = str(total + i).zfill(3)
                 if system.defense_type == "wave":

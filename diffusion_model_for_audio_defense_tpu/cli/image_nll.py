@@ -88,7 +88,7 @@ def main(argv=None):
     if not args.model_path:
         raise SystemExit("--model_path is required (torch .pt/.pth file or an Orbax checkpoint dir)")
     if args.model_path.endswith(".pt") or args.model_path.endswith(".pth"):
-        variables = load_unet_checkpoint(args.model_path, learn_sigma=args.learn_sigma)
+        variables = load_unet_checkpoint(args.model_path)
     else:
         variables = load_pytree(args.model_path)
     model_fn = diffusion.wrap_model(lambda x, t: model.apply(variables, x, t, train=False))

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import itertools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -94,15 +95,19 @@ def main(argv=None):
                 lambda xx, tt: model.apply(p, xx, tt, train=train, rngs=rngs))(x, t)
 
     data = load_sc09_spectrogram_data(args.data_dir, args.batch_size)
-    resume_params = None
+    resume_params, resume_step = None, 0
     if args.resume_checkpoint:
-        # explicit resume (reference train_util.py:114-121); .pt converts,
-        # orbax dirs restore natively. Auto-discovery in save_dir still
-        # applies when the flag is empty.
+        # explicit resume (reference train_util.py:114-121, step parsed from
+        # the filename :337-347); .pt converts, orbax dirs restore natively.
+        # Auto-discovery in save_dir still applies when the flag is empty.
+        import re as _re
+
+        m = _re.search(r"(\d+)(?:\.pt|\.pth)?$", os.path.basename(args.resume_checkpoint.rstrip("/")))
+        resume_step = int(m.group(1)) if m else 0
         if args.resume_checkpoint.endswith((".pt", ".pth")):
             from ..core.checkpoint import load_unet_checkpoint
 
-            resume_params = load_unet_checkpoint(args.resume_checkpoint, learn_sigma=args.learn_sigma)
+            resume_params = load_unet_checkpoint(args.resume_checkpoint)
         else:
             from ..core.checkpoint import load_pytree
 
@@ -113,7 +118,7 @@ def main(argv=None):
         save_interval=args.save_interval, lr_anneal_steps=args.lr_anneal_steps,
         weight_decay=args.weight_decay,
         schedule_sampler=create_named_schedule_sampler(args.schedule_sampler, diffusion.num_timesteps),
-        save_dir=args.save_dir, resume_params=resume_params,
+        save_dir=args.save_dir, resume_params=resume_params, resume_step=resume_step,
     )
     loop.run_loop(max_steps=args.max_steps or None)
 

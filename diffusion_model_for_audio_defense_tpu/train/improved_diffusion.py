@@ -44,6 +44,7 @@ class TrainLoop:
         weight_decay: float = 0.0,
         schedule_sampler=None,
         resume_params=None,
+        resume_step: int = 0,
         save_dir: str = "checkpoints",
         standardize=None,
         rng=None,
@@ -66,6 +67,11 @@ class TrainLoop:
 
         if resume_params is None:
             resume_params, self.step = self._discover_resume(save_dir)
+        else:
+            # explicit resume: the caller supplies the step (reference parses
+            # it from the filename, train_util.py:337-347) so lr anneal,
+            # checkpoint numbering and the opt/EMA restore below line up
+            self.step = int(resume_step)
         if resume_params is not None:
             self.params = resume_params
         else:
@@ -93,8 +99,9 @@ class TrainLoop:
 
         try:
             ap = inspect.signature(model.apply).parameters
-            dropout_capable = "train" in ap or any(
-                p.kind == p.VAR_KEYWORD for p in ap.values())
+            # explicit 'train' param only: a bare **kwargs (e.g. a raw flax
+            # Module.apply) says nothing about whether __call__ takes train
+            dropout_capable = "train" in ap
         except (TypeError, ValueError):
             dropout_capable = False
         self.dropout_capable = dropout_capable  # introspectable (and tested)
