@@ -8,6 +8,7 @@ a restarted run is bit-for-bit on the same trajectory.
 
 import itertools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -111,3 +112,31 @@ def test_trainloop_resume_equivalence(tmp_path, rng_np):
     _assert_trees_close(a.params, c.params)
     for ea, ec in zip(a.ema_params, c.ema_params):
         _assert_trees_close(ea, ec)
+
+
+def test_trainloop_explicit_resume_step(tmp_path, rng_np):
+    """Explicit resume_params + resume_step: the loop continues at the given
+    step (so lr anneal / checkpoint numbering / opt-EMA restore line up)
+    instead of silently restarting at 0."""
+    import itertools
+
+    from diffusion_model_for_audio_defense_tpu.models.unet import create_unet
+    from diffusion_model_for_audio_defense_tpu.purify.diffusion_math import create_gaussian_diffusion
+    from diffusion_model_for_audio_defense_tpu.train import TrainLoop
+    from diffusion_model_for_audio_defense_tpu.train import logger as tlog
+
+    model = create_unet(num_channels=16, num_res_blocks=1, dropout=0.0)
+    d = create_gaussian_diffusion(steps=20)
+    wrapped = type("M", (), {
+        "init": lambda self, k, x, t: model.init(k, x, t),
+        "apply": lambda self, p, x, t: d.wrap_model(lambda xx, tt: model.apply(p, xx, tt))(x, t),
+    })()
+    data = itertools.cycle([np.asarray(rng_np.standard_normal((2, 1, 32, 32)), np.float32)])
+    tlog.configure(str(tmp_path), ["csv"])
+    params = wrapped.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 32, 32)), jnp.zeros((1,), jnp.int32))
+    loop = TrainLoop(wrapped, d, iter(data), batch_size=2, lr=1e-3,
+                     save_interval=10**6, save_dir=str(tmp_path / "ck"),
+                     resume_params=params, resume_step=7)
+    assert loop.step == 7
+    loop.run_loop(max_steps=8)  # max_steps counts total steps
+    assert loop.step == 8
