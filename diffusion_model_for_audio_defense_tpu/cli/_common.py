@@ -121,10 +121,21 @@ def load_diffwave_eps_fn(args, fast: bool = False):
     elif pallas_ok and not getattr(args, "no_pallas_grad", False):
         from ..ops.pallas.wavenet_stack import wavenet_apply_stack
 
-        eps_fn = lambda x, t: wavenet_apply_stack(
-            variables, x, t[:, None], num_res_layers=wavenet.num_res_layers,
-            dilation_cycle=wavenet.dilation_cycle, dtype=dtype,
-            differentiable=True, grad_params=False)
+        def eps_fn(x, t):
+            # the AD forward stashes pre-activations: 36·(B, L_pad, 2C) in the
+            # compute dtype. Above ~half of v5e HBM (16 GB), rematerialize per
+            # dilation cycle instead of OOMing (2x fwd cost; perf/lab8_bwd.py).
+            L_pad = -(-x.shape[-1] // 2048) * 2048
+            C = wavenet.res_channels
+            itemsize = jnp.dtype(dtype).itemsize
+            stash = wavenet.num_res_layers * x.shape[0] * L_pad * 2 * C * itemsize
+            remat = getattr(args, "remat_cycles", None)
+            if remat is None:
+                remat = stash > 8 * 1024**3
+            return wavenet_apply_stack(
+                variables, x, t[:, None], num_res_layers=wavenet.num_res_layers,
+                dilation_cycle=wavenet.dilation_cycle, dtype=dtype,
+                differentiable=True, grad_params=False, remat_cycles=bool(remat))
     else:
         eps_fn = lambda x, t: wavenet.apply(variables, x, t[:, None])
     return wavenet, variables, eps_fn, schedule
@@ -213,6 +224,7 @@ def build_attacker(args, system, model_fn=None):
             eot_attack_size=args.eot_attack_size,
             eot_defense_size=args.eot_defense_size,
             verbose=args.verbose,
+            fused_stage_1=bool(getattr(args, "fused_stage_1", False)),
         )
     if args.attack == "Qin-I":
         return AudioAttack(
@@ -224,6 +236,7 @@ def build_attacker(args, system, model_fn=None):
             max_iter_2=args.max_iter_2,
             learning_rate_1=args.eps / 5,
             verbose=args.verbose,
+            fused_stage_1=bool(getattr(args, "fused_stage_1", False)),
         )
     if args.attack == "Kenansville":
         return Kenansville(model_fn, atk_name="ssa", max_iter=30, raster_width=100,

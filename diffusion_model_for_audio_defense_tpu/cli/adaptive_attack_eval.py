@@ -45,6 +45,12 @@ def build_parser():
     parser.add_argument("--no_pallas_grad", action="store_true", default=False,
                         help="disable the differentiable Pallas WaveNet stack "
                              "for attack gradients (fall back to XLA autodiff)")
+    parser.add_argument("--remat_cycles", type=int, default=None,
+        help="force (1) / disable (0) per-cycle rematerialization in the "
+             "Pallas backward; default auto-enables above an ~8 GB stash")
+    parser.add_argument("--fused_stage_1", action="store_true", default=False,
+        help="run attack stage 1 as one on-device lax.fori_loop (no "
+             "per-iteration host sync); host loop stays the default")
     # attack arguments (reference :38-47)
     parser.add_argument("--attack", type=str, choices=["CW", "Qin-I", "Kenansville", "FAKEBOB", "SirenAttack"], default="CW")
     parser.add_argument("--defense", type=str,

@@ -42,6 +42,12 @@ def build_parser():
     p.add_argument("--no_pallas_grad", action="store_true", default=False,
                    help="disable the differentiable Pallas WaveNet stack "
                         "for attack gradients (fall back to XLA autodiff)")
+    p.add_argument("--remat_cycles", type=int, default=None,
+        help="force (1) / disable (0) per-cycle rematerialization in the "
+             "Pallas backward; default auto-enables above an ~8 GB stash")
+    p.add_argument("--fused_stage_1", action="store_true", default=False,
+        help="run attack stage 1 as one on-device lax.fori_loop (no "
+             "per-iteration host sync); host loop stays the default")
     p.add_argument("--diffusion_type", type=str, default="ddpm")
     p.add_argument("--defense", type=str, default="None")
     p.add_argument("--bound_norm", type=str, choices=["linf", "l2"], default="linf")

@@ -77,6 +77,13 @@ def vpsde_reverse(
     beta_0 = beta_min if beta_min is not None else schedule.beta_start * N
     beta_1 = beta_max if beta_max is not None else schedule.beta_end * N
     static_t = t_max is None
+    if static_t and isinstance(t_star, jax.core.Tracer):
+        raise TypeError(
+            "vpsde_reverse: t_star is a traced value but t_max is None - the "
+            "Euler grid length would depend on a tracer. Pass a static upper "
+            "bound t_max (the scan then runs the t_max grid and masks steps "
+            "above the drawn t*, see RevDiffWavePurifier.rand_t)."
+        )
     taus, hs = _sde_grid(int(t_star) if static_t else int(t_max), N)
     keys = jax.random.split(rng, len(taus))
     bsz = x_t.shape[0]

@@ -105,6 +105,16 @@ class TrainLoop:
         except (TypeError, ValueError):
             dropout_capable = False
         self.dropout_capable = dropout_capable  # introspectable (and tested)
+        if not dropout_capable:
+            import warnings
+
+            warnings.warn(
+                "model.apply has no explicit 'train' parameter - training will "
+                "run with dropout OFF. Wrap the model so apply(params, x, t, "
+                "train=...) is explicit if dropout is intended (the reference "
+                "UNet trains with dropout 0.3, script_util.py:24).",
+                stacklevel=2,
+            )
         if dropout_capable:
             model_fn_of = lambda params, dkey: (
                 lambda x, t: model.apply(params, x, t, train=True, rngs={"dropout": dkey}))
