@@ -58,15 +58,17 @@ class ResBlock(nn.Module):
     out_channels: int
     dropout: float = 0.0
     use_scale_shift_norm: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, emb, train: bool = False):
         h = GroupNorm32(name="in_norm")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="in_conv")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)), name="in_conv", dtype=self.dtype)(h)
 
         emb_out = nn.Dense(
-            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels, name="emb_proj"
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels, name="emb_proj",
+            dtype=self.dtype,
         )(nn.silu(emb))
         emb_out = emb_out[:, None, None, :]
 
@@ -80,51 +82,55 @@ class ResBlock(nn.Module):
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Conv(
             self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-            kernel_init=nn.initializers.zeros_init(), name="out_conv",
+            kernel_init=nn.initializers.zeros_init(), name="out_conv", dtype=self.dtype,
         )(h)
 
         if x.shape[-1] != self.out_channels:
-            x = nn.Dense(self.out_channels, name="skip")(x)  # 1×1 conv
+            x = nn.Dense(self.out_channels, name="skip", dtype=self.dtype)(x)  # 1×1 conv
         return x + h
 
 
 class AttentionBlock(nn.Module):
     num_heads: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         h = GroupNorm32(name="norm")(x).reshape(B, H * W, C)
-        qkv = nn.Dense(3 * C, name="qkv")(h)  # 1-D conv k=1
+        qkv = nn.Dense(3 * C, name="qkv", dtype=self.dtype)(h)  # 1-D conv k=1
         qkv = qkv.reshape(B, H * W, 3, self.num_heads, C // self.num_heads)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, h, d)
         scale = 1.0 / math.sqrt(math.sqrt(C // self.num_heads))
         w = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale)
         w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(x.dtype)
         a = jnp.einsum("bhts,bshd->bthd", w, v).reshape(B, H * W, C)
-        out = nn.Dense(C, kernel_init=nn.initializers.zeros_init(), name="proj_out")(a)
+        out = nn.Dense(C, kernel_init=nn.initializers.zeros_init(), name="proj_out", dtype=self.dtype)(a)
         return x + out.reshape(B, H, W, C)
 
 
 class Downsample(nn.Module):
     use_conv: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         if self.use_conv:
-            return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), name="op")(x)
+            return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), name="op",
+                           dtype=self.dtype)(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
 class Upsample(nn.Module):
     use_conv: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, 2 * H, 2 * W, C), method="nearest")
         if self.use_conv:
-            x = nn.Conv(C, (3, 3), padding=((1, 1), (1, 1)), name="conv")(x)
+            x = nn.Conv(C, (3, 3), padding=((1, 1), (1, 1)), name="conv", dtype=self.dtype)(x)
         return x
 
 
@@ -140,55 +146,65 @@ class UNetModel(nn.Module):
     num_heads: int = 4
     num_heads_upsample: int = -1
     use_scale_shift_norm: bool = True
+    # compute dtype (params stay f32; GroupNorm32 stays f32 internally) —
+    # TPU-native equivalent of the reference's fp16 conversion
+    # (improved_diffusion/unet.py:439-460): bf16 keeps the MXU fed without
+    # the loss-scale dance of fp16_util.py
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         heads_up = self.num_heads_upsample if self.num_heads_upsample != -1 else self.num_heads
         x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW → NHWC
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         emb = unet_timestep_embedding(timesteps.reshape(-1), self.model_channels)
-        emb = nn.Dense(4 * self.model_channels, name="time_embed_0")(emb)
-        emb = nn.Dense(4 * self.model_channels, name="time_embed_2")(nn.silu(emb))
+        emb = nn.Dense(4 * self.model_channels, name="time_embed_0", dtype=self.dtype)(emb)
+        emb = nn.Dense(4 * self.model_channels, name="time_embed_2", dtype=self.dtype)(nn.silu(emb))
 
         hs = []
-        h = nn.Conv(self.model_channels, (3, 3), padding=((1, 1), (1, 1)), name="in_conv")(x)
+        h = nn.Conv(self.model_channels, (3, 3), padding=((1, 1), (1, 1)), name="in_conv",
+                    dtype=self.dtype)(x)
         hs.append(h)
         ds = 1
         blk = 0
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
                 h = ResBlock(mult * self.model_channels, self.dropout, self.use_scale_shift_norm,
-                             name=f"down_res_{blk}")(h, emb, train)
+                             dtype=self.dtype, name=f"down_res_{blk}")(h, emb, train)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock(self.num_heads, name=f"down_attn_{blk}")(h)
+                    h = AttentionBlock(self.num_heads, dtype=self.dtype, name=f"down_attn_{blk}")(h)
                 hs.append(h)
                 blk += 1
             if level != len(self.channel_mult) - 1:
-                h = Downsample(self.conv_resample, name=f"down_sample_{level}")(h)
+                h = Downsample(self.conv_resample, dtype=self.dtype, name=f"down_sample_{level}")(h)
                 hs.append(h)
                 ds *= 2
 
-        h = ResBlock(h.shape[-1], self.dropout, self.use_scale_shift_norm, name="mid_res_0")(h, emb, train)
-        h = AttentionBlock(self.num_heads, name="mid_attn")(h)
-        h = ResBlock(h.shape[-1], self.dropout, self.use_scale_shift_norm, name="mid_res_1")(h, emb, train)
+        h = ResBlock(h.shape[-1], self.dropout, self.use_scale_shift_norm, dtype=self.dtype,
+                     name="mid_res_0")(h, emb, train)
+        h = AttentionBlock(self.num_heads, dtype=self.dtype, name="mid_attn")(h)
+        h = ResBlock(h.shape[-1], self.dropout, self.use_scale_shift_norm, dtype=self.dtype,
+                     name="mid_res_1")(h, emb, train)
 
         blk = 0
         for level, mult in list(enumerate(self.channel_mult))[::-1]:
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
                 h = ResBlock(mult * self.model_channels, self.dropout, self.use_scale_shift_norm,
-                             name=f"up_res_{blk}")(h, emb, train)
+                             dtype=self.dtype, name=f"up_res_{blk}")(h, emb, train)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock(heads_up, name=f"up_attn_{blk}")(h)
+                    h = AttentionBlock(heads_up, dtype=self.dtype, name=f"up_attn_{blk}")(h)
                 blk += 1
             if level:
-                h = Upsample(self.conv_resample, name=f"up_sample_{level}")(h)
+                h = Upsample(self.conv_resample, dtype=self.dtype, name=f"up_sample_{level}")(h)
                 ds //= 2
 
         h = nn.silu(GroupNorm32(name="out_norm")(h))
         h = nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
                     kernel_init=nn.initializers.zeros_init(), name="out_conv")(h)
-        return jnp.transpose(h, (0, 3, 1, 2))  # NHWC → NCHW
+        return jnp.transpose(h, (0, 3, 1, 2)).astype(jnp.float32)  # NHWC → NCHW
 
 
 class SuperResModel(nn.Module):
@@ -246,6 +262,7 @@ def create_unet(
     num_heads_upsample: int = -1,
     use_scale_shift_norm: bool = True,
     in_channels: int = 1,
+    dtype=None,
 ) -> UNetModel:
     """Mirror of ``script_util.create_model`` (:86-126)."""
     if image_size == 256:
@@ -268,4 +285,5 @@ def create_unet(
         num_heads=num_heads,
         num_heads_upsample=num_heads_upsample,
         use_scale_shift_norm=use_scale_shift_norm,
+        dtype=dtype,
     )

@@ -264,6 +264,74 @@ class GaussianDiffusion:
         x0, _ = jax.lax.scan(jax.checkpoint(body), x_t, (ts, keys))
         return x0
 
+    def ddim_reverse_sample(self, model_fn, x, t, clip_denoised: bool = True, eta: float = 0.0):
+        """Deterministic DDIM reverse-ODE step x_t → x_{t+1} (the encoder
+        direction; reference ``gaussian_diffusion.py:524-560``). Returns
+        ``(sample, pred_xstart)``."""
+        assert eta == 0.0, "Reverse ODE only for deterministic path"
+        out = self.p_mean_variance(model_fn, x, t, clip_denoised)
+        eps = (
+            _ext(self.sqrt_recip_alphas_cumprod, t, x.ndim) * x - out["pred_xstart"]
+        ) / _ext(self.sqrt_recipm1_alphas_cumprod, t, x.ndim)
+        abar_next = _ext(self.alphas_cumprod_next, t, x.ndim)
+        mean_pred = out["pred_xstart"] * jnp.sqrt(abar_next) + jnp.sqrt(1 - abar_next) * eps
+        return mean_pred, out["pred_xstart"]
+
+    def ddim_reverse_sample_loop(self, model_fn, x0, t_end: Optional[int] = None,
+                                 clip_denoised: bool = True):
+        """DDIM-encode x_0 up to x_{t_end} by scanning the reverse ODE over
+        t = 0 … t_end-1 — the deterministic latent encoder paired with
+        ``ddim_sample_loop`` (single-step reference ``:524-560``; the loop is
+        the standard composition, done here as one ``lax.scan``)."""
+        t_end = t_end if t_end is not None else self.num_timesteps
+        bsz = x0.shape[0]
+
+        def body(x, t):
+            x, _ = self.ddim_reverse_sample(model_fn, x, jnp.full((bsz,), t), clip_denoised)
+            return x, None
+
+        x_t, _ = jax.lax.scan(jax.checkpoint(body), x0, jnp.arange(t_end))
+        return x_t
+
+    # ----------------------------------------------- progressive generators
+
+    def p_sample_loop_progressive(self, model_fn, shape=None, rng=None, x_t=None,
+                                  t_start: Optional[int] = None, clip_denoised: bool = True):
+        """Yield per-step dicts ``{"sample", "pred_xstart"}`` from t_start-1
+        down to 0 (reference ``gaussian_diffusion.py:431-478``). A host-level
+        generator — each step is one device call; use ``p_sample_loop`` (the
+        fused scan) when intermediates aren't needed."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if x_t is None:
+            rng, k = jax.random.split(rng)
+            x_t = jax.random.normal(k, shape)
+            t_start = self.num_timesteps
+        t_start = t_start if t_start is not None else self.num_timesteps
+        bsz = x_t.shape[0]
+        x = x_t
+        for t in range(t_start - 1, -1, -1):
+            rng, k = jax.random.split(rng)
+            x, pred_xstart = self.p_sample(model_fn, x, jnp.full((bsz,), t), k, clip_denoised)
+            yield {"sample": x, "pred_xstart": pred_xstart}
+
+    def ddim_sample_loop_progressive(self, model_fn, shape=None, rng=None, x_t=None,
+                                     t_start: Optional[int] = None, clip_denoised: bool = True,
+                                     eta: float = 0.0):
+        """DDIM analogue of ``p_sample_loop_progressive`` (reference
+        ``gaussian_diffusion.py:594-641``)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if x_t is None:
+            rng, k = jax.random.split(rng)
+            x_t = jax.random.normal(k, shape)
+            t_start = self.num_timesteps
+        t_start = t_start if t_start is not None else self.num_timesteps
+        bsz = x_t.shape[0]
+        x = x_t
+        for t in range(t_start - 1, -1, -1):
+            rng, k = jax.random.split(rng)
+            x, pred_xstart = self.ddim_sample(model_fn, x, jnp.full((bsz,), t), k, clip_denoised, eta)
+            yield {"sample": x, "pred_xstart": pred_xstart}
+
     # --------------------------------------------------------------- losses
 
     def _vb_terms_bpd(self, model_fn, x_start, x_t, t, clip_denoised: bool = True):

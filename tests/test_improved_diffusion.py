@@ -243,3 +243,83 @@ def test_calc_bpd_loop_matches_torch_math(rng_np):
     np.testing.assert_allclose(np.asarray(res["mse"]), torch.stack(mse_g, 1).numpy(), atol=1e-3, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(res["prior_bpd"]), prior_g.numpy(), atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(res["total_bpd"]), total_g.numpy(), atol=5e-3, rtol=1e-3)
+
+
+def test_ddim_reverse_sample_roundtrip(rng_np):
+    # eps==0 model: the reverse ODE step and the ddim forward step are exact
+    # inverses (x scales by sqrt(abar) ratios), so encode->decode is identity
+    d = GaussianDiffusion(betas=get_named_beta_schedule("cosine", 20))
+    model_fn = lambda x, t: jnp.zeros_like(x)
+    x = jnp.asarray(rng_np.standard_normal((2, 1, 8, 8)).astype(np.float32))
+    t_end = 10
+    acp = np.asarray(d.alphas_cumprod)
+    x_enc = d.ddim_reverse_sample_loop(model_fn, x, t_end=t_end, clip_denoised=False)
+    # eps==0: each step t scales by sqrt(abar_next[t]/abar[t]); telescopes to
+    # sqrt(abar[t_end]/abar[0]) - x_enc sits at noise level t_end
+    scale = float(np.sqrt(acp[t_end] / acp[0]))
+    np.testing.assert_allclose(np.asarray(x_enc), np.asarray(x) * scale, rtol=1e-4)
+    # decode with eta=0 DDIM from level t_end (t_start = t_end+1): each step
+    # scales by sqrt(abar_prev[t]/abar[t]), telescoping to 1/sqrt(abar[t_end]);
+    # roundtrip = x / sqrt(abar[0]) (the t=0 step has no encoder counterpart)
+    x_dec = d.ddim_sample_loop(model_fn, rng=jax.random.PRNGKey(0), x_t=x_enc,
+                               t_start=t_end + 1, clip_denoised=False)
+    np.testing.assert_allclose(np.asarray(x_dec), np.asarray(x) / np.sqrt(acp[0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ddim_reverse_single_step_formula(rng_np):
+    d = GaussianDiffusion(betas=get_named_beta_schedule("linear", 50))
+    x = jnp.asarray(rng_np.standard_normal((2, 1, 4, 4)).astype(np.float32))
+    eps_const = jnp.asarray(rng_np.standard_normal(x.shape).astype(np.float32))
+    model_fn = lambda xx, tt: eps_const
+    t = jnp.asarray([7, 30])
+    sample, pred_x0 = d.ddim_reverse_sample(model_fn, x, t, clip_denoised=False)
+    acp = np.asarray(d.alphas_cumprod)
+    acp_next = np.asarray(d.alphas_cumprod_next)
+    tt = np.asarray(t)
+    x0 = np.asarray(d._predict_xstart_from_eps(x, t, eps_const))
+    want = (x0 * np.sqrt(acp_next[tt])[:, None, None, None]
+            + np.sqrt(1 - acp_next[tt])[:, None, None, None] * np.asarray(eps_const))
+    np.testing.assert_allclose(np.asarray(sample), want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pred_x0), x0, rtol=1e-4, atol=1e-5)
+
+
+def test_progressive_loops_match_scan_loops(rng_np):
+    d = GaussianDiffusion(betas=get_named_beta_schedule("linear", 50))
+    model_fn = lambda x, t: 0.1 * jnp.tanh(x)
+    x_t = jnp.asarray(rng_np.standard_normal((2, 1, 8, 8)).astype(np.float32))
+    # DDIM eta=0 is deterministic -> progressive final == scan-loop final
+    steps = list(d.ddim_sample_loop_progressive(model_fn, x_t=x_t, t_start=10,
+                                                rng=jax.random.PRNGKey(0)))
+    assert len(steps) == 10
+    assert set(steps[0]) == {"sample", "pred_xstart"}
+    x_scan = d.ddim_sample_loop(model_fn, rng=jax.random.PRNGKey(1), x_t=x_t, t_start=10)
+    np.testing.assert_allclose(np.asarray(steps[-1]["sample"]), np.asarray(x_scan),
+                               rtol=1e-4, atol=1e-5)
+    # ancestral progressive: right count, finite, deterministic given the key
+    p1 = list(d.p_sample_loop_progressive(model_fn, x_t=x_t, t_start=10,
+                                          rng=jax.random.PRNGKey(2)))
+    p2 = list(d.p_sample_loop_progressive(model_fn, x_t=x_t, t_start=10,
+                                          rng=jax.random.PRNGKey(2)))
+    assert len(p1) == 10 and np.isfinite(np.asarray(p1[-1]["sample"])).all()
+    np.testing.assert_array_equal(np.asarray(p1[-1]["sample"]), np.asarray(p2[-1]["sample"]))
+
+
+def test_unet_bf16_compute_dtype(rng_np):
+    """dtype=bf16 (TPU equivalent of the reference fp16 conversion,
+    unet.py:439-460): identical param tree, f32 output, small deviation."""
+    m32 = create_unet(num_channels=32, num_res_blocks=1)
+    mbf = create_unet(num_channels=32, num_res_blocks=1, dtype=jnp.bfloat16)
+    x = jnp.asarray(rng_np.standard_normal((2, 1, 32, 32)).astype(np.float32))
+    t = jnp.zeros((2,))
+    v = m32.init(jax.random.PRNGKey(1), x, t)
+    import flax
+
+    v = flax.core.unfreeze(v)
+    oc = v["params"]["out_conv"]
+    oc["kernel"] = jnp.asarray(rng_np.standard_normal(oc["kernel"].shape).astype(np.float32) * 0.05)
+    assert jax.tree.structure(v) == jax.tree.structure(mbf.init(jax.random.PRNGKey(1), x, t))
+    a = np.asarray(m32.apply(v, x, t))
+    b = np.asarray(mbf.apply(v, x, t))
+    assert b.dtype == np.float32
+    assert np.abs(a - b).max() < 0.05 * max(1.0, np.abs(a).max())
