@@ -1,0 +1,242 @@
+"""Purifier-LOOP oracles against the ACTUAL reference torch classes.
+
+Module-level parity (WaveNet forward) is covered in test_wavenet.py; these
+tests go one level up and diff the *composed* purifier loops —
+``DiffWave.forward`` (q-jump + full reverse), ``one_shot_denoise``,
+``two_shot_denoise``, ``fast_reverse``, ``ReffWave.forward`` and the
+unconditional ``util.sampling`` loop — against
+``/root/reference/diffusion_models/diffwave_ddpm.py`` and
+``DiffWave_Unconditional/util.py:126-158`` with *injected noise*: torch's
+``torch.normal`` is monkeypatched to replay the exact noise sequence the JAX
+implementation draws from its PRNG keys. This is the level at which the
+round-1/2 in-place-residual class of bug is caught (it survived module-level
+tests for a full round).
+"""
+
+import importlib
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from diffusion_model_for_audio_defense_tpu.core import linear_schedule
+from diffusion_model_for_audio_defense_tpu.core.checkpoint import convert_diffwave_state_dict
+from diffusion_model_for_audio_defense_tpu.models import WaveNet
+from diffusion_model_for_audio_defense_tpu.purify.ddpm import (
+    ddpm_purify,
+    ddpm_reverse,
+    fast_reverse,
+    one_shot_denoise,
+    q_jump,
+    two_shot_denoise,
+)
+
+REFERENCE = "/root/reference"
+RES, SKIP, LAYERS, CYCLE = 8, 8, 4, 2
+EMB_IN, EMB_MID, EMB_OUT = 8, 16, 16
+T = 20
+L = 64
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "diffusion_models")),
+    reason="reference repo not present",
+)
+
+
+def _import_reference():
+    """Import the reference purifier classes with their heavyweight
+    GPU/audio deps stubbed out (torchvision/torchaudio/librosa are only used
+    by the dataset module this test never touches)."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    for name in ("torchvision", "torchaudio", "torchaudio.datasets",
+                 "torchaudio.datasets.utils", "librosa"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["torchaudio.datasets.utils"].download_url = None
+    sys.modules["torchaudio.datasets.utils"].extract_archive = None
+    for a in ("datasets", "models", "transforms"):
+        if not hasattr(sys.modules["torchvision"], a):
+            setattr(sys.modules["torchvision"], a, None)
+    util = importlib.import_module("diffusion_models.DiffWave_Unconditional.util")
+    # WaveNet.py does a flat `from util import ...`
+    sys.modules.setdefault("util", util)
+    ddpm = importlib.import_module("diffusion_models.diffwave_ddpm")
+    return ddpm, util
+
+
+class _InjectedNoise:
+    """Monkeypatches ``torch.normal`` (and neutralizes ``.cuda()``) so the
+    reference draws exactly the given numpy arrays, in order."""
+
+    def __init__(self, queue):
+        self.queue = [np.asarray(q, dtype=np.float32) for q in queue]
+
+    def __enter__(self):
+        self._normal = torch.normal
+        self._cuda = torch.Tensor.cuda
+
+        def fake_normal(mean, std=1.0, size=None, **kw):
+            assert self.queue, "reference drew more noise than injected"
+            z = self.queue.pop(0)
+            assert tuple(size) == z.shape, (tuple(size), z.shape)
+            return torch.from_numpy(z)
+
+        torch.normal = fake_normal
+        torch.Tensor.cuda = lambda t, *a, **k: t
+        return self
+
+    def __exit__(self, *exc):
+        torch.normal = self._normal
+        torch.Tensor.cuda = self._cuda
+        assert not self.queue or exc[0] is not None, \
+            f"{len(self.queue)} injected draws unused"
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    ddpm_mod, util_mod = _import_reference()
+    torch.manual_seed(7)
+    with torch.no_grad():
+        net = _make_ref_wavenet(ddpm_mod)
+    params = convert_diffwave_state_dict(net.state_dict(), num_res_layers=LAYERS)
+    fm = WaveNet(res_channels=RES, skip_channels=SKIP, num_res_layers=LAYERS,
+                 dilation_cycle=CYCLE, diffusion_step_embed_dim_in=EMB_IN,
+                 diffusion_step_embed_dim_mid=EMB_MID, diffusion_step_embed_dim_out=EMB_OUT)
+    eps_fn = lambda x, t: fm.apply({"params": params}, x, t[:, None])
+    hp = util_mod.calc_diffusion_hyperparams(T, 1e-4, 0.02)
+    sched = linear_schedule(T)
+    return ddpm_mod, util_mod, net, eps_fn, hp, sched
+
+
+def _make_ref_wavenet(ddpm_mod):
+    net = ddpm_mod.WaveNet_Speech_Commands(
+        in_channels=1, res_channels=RES, skip_channels=SKIP, out_channels=1,
+        num_res_layers=LAYERS, dilation_cycle=CYCLE,
+        diffusion_step_embed_dim_in=EMB_IN, diffusion_step_embed_dim_mid=EMB_MID,
+        diffusion_step_embed_dim_out=EMB_OUT).eval()
+    # the zero-init output head would make every parity check vacuous
+    net.final_conv[2].conv.weight.data.normal_()
+    net.final_conv[2].conv.bias.data.normal_()
+    return net
+
+
+def _x0(rng_np, bsz=2):
+    return rng_np.standard_normal((bsz, 1, L)).astype(np.float32) * 0.3
+
+
+def _jax_noise(key, shape):
+    return np.asarray(jax.random.normal(key, shape, dtype=jnp.float32))
+
+
+def test_ddpm_purify_loop_oracle(oracle, rng_np):
+    ddpm_mod, _, net, eps_fn, hp, sched = oracle
+    t_star = 6
+    x0 = _x0(rng_np)
+    rng = jax.random.PRNGKey(0)
+
+    ours = np.asarray(ddpm_purify(eps_fn, sched, jnp.asarray(x0), t_star, rng))
+
+    # replay our PRNG draw sequence into torch: q-jump z, then one z per
+    # reverse step t = t*-1 … 1 (the reference draws none at t=0)
+    k1, k2 = jax.random.split(rng)
+    keys = jax.random.split(k2, t_star)
+    queue = [_jax_noise(k1, x0.shape)] + [_jax_noise(keys[i], x0.shape) for i in range(t_star - 1)]
+    ref = ddpm_mod.DiffWave(net, hp, reverse_timestep=t_star)
+    with _InjectedNoise(queue), torch.no_grad():
+        golden = ref(torch.from_numpy(x0)).numpy()
+    np.testing.assert_allclose(ours, golden, atol=5e-4, rtol=1e-3)
+
+
+def test_one_and_two_shot_denoise_oracle(oracle, rng_np):
+    ddpm_mod, _, net, eps_fn, hp, sched = oracle
+    t_star = 6
+    x_t = _x0(rng_np)
+    ref = ddpm_mod.DiffWave(net, hp, reverse_timestep=t_star)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda t, *a, **k: t
+    try:
+        with torch.no_grad():
+            g1 = ref.one_shot_denoise(torch.from_numpy(x_t)).numpy()
+            g2 = ref.two_shot_denoise(torch.from_numpy(x_t)).numpy()
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    o1 = np.asarray(one_shot_denoise(eps_fn, sched, jnp.asarray(x_t), t_star))
+    o2 = np.asarray(two_shot_denoise(eps_fn, sched, jnp.asarray(x_t), t_star))
+    np.testing.assert_allclose(o1, g1, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(o2, g2, atol=2e-4, rtol=1e-3)
+
+
+def test_fast_reverse_oracle(oracle, rng_np):
+    ddpm_mod, _, net, eps_fn, hp, sched = oracle
+    t_star, K = 9, 3
+    x_t = _x0(rng_np)
+    rng = jax.random.PRNGKey(3)
+    ours = np.asarray(fast_reverse(eps_fn, sched, jnp.asarray(x_t), t_star, rng, K=K))
+
+    keys = jax.random.split(rng, K)
+    queue = [_jax_noise(keys[t], x_t.shape) for t in range(K - 1, -1, -1)]
+    ref = ddpm_mod.DiffWave(net, hp, reverse_timestep=t_star)
+    with _InjectedNoise(queue), torch.no_grad():
+        golden = ref.fast_reverse(torch.from_numpy(x_t)).numpy()
+    np.testing.assert_allclose(ours, golden, atol=5e-4, rtol=1e-3)
+
+
+def test_reffwave_oracle(oracle, rng_np):
+    ddpm_mod, _, net, eps_fn, hp, sched = oracle
+    from diffusion_model_for_audio_defense_tpu.purify.ddpm import ReDiffWavePurifier
+
+    t_star, num_re = 5, 3
+    x0 = _x0(rng_np)
+    rng = jax.random.PRNGKey(5)
+    purifier = ReDiffWavePurifier.__new__(ReDiffWavePurifier)
+    # build via from_eps_fn-equivalent wiring
+    purifier.apply_fn = None
+    purifier.params = None
+    purifier.schedule = sched
+    purifier.reverse_timestep = t_star
+    purifier.remat = True
+    purifier._eps_fn = eps_fn
+    purifier.num_re = num_re
+    ours = np.asarray(purifier(jnp.asarray(x0), rng))
+
+    keys = jax.random.split(rng, num_re)
+    queue = [_jax_noise(k, x0.shape) for k in keys]
+    ref = ddpm_mod.ReffWave(net, hp, reverse_timestep=t_star, num_re=num_re)
+    with _InjectedNoise(queue), torch.no_grad():
+        golden = ref(torch.from_numpy(x0)).numpy()
+    np.testing.assert_allclose(ours, golden, atol=5e-4, rtol=1e-3)
+
+
+def test_unconditional_sampling_oracle(oracle):
+    """The full T-step reverse from pure noise (util.py:126-158) — the loop
+    behind cli/inference.py."""
+    _, util_mod, net, eps_fn, hp, sched = oracle
+    bsz = 2
+    rng = jax.random.PRNGKey(11)
+    k0, k1 = jax.random.split(rng)
+    x_T = _jax_noise(k0, (bsz, 1, L))
+    ours = np.asarray(ddpm_reverse(eps_fn, sched, jnp.asarray(x_T), T, k1))
+
+    keys = jax.random.split(k1, T)
+    queue = [x_T] + [_jax_noise(keys[i], x_T.shape) for i in range(T - 1)]
+    with _InjectedNoise(queue), torch.no_grad():
+        golden = util_mod.sampling(net, (bsz, 1, L), hp).numpy()
+    np.testing.assert_allclose(ours, golden, atol=1e-3, rtol=1e-3)
+
+
+def test_q_jump_matches_reference_diffusion(oracle, rng_np):
+    ddpm_mod, _, net, eps_fn, hp, sched = oracle
+    t_star = 6
+    x0 = _x0(rng_np)
+    key = jax.random.PRNGKey(21)
+    ours = np.asarray(q_jump(sched, jnp.asarray(x0), t_star, key))
+    ref = ddpm_mod.DiffWave(net, hp, reverse_timestep=t_star)
+    with _InjectedNoise([_jax_noise(key, x0.shape)]), torch.no_grad():
+        golden = ref._diffusion(torch.from_numpy(x0)).numpy()
+    np.testing.assert_allclose(ours, golden, atol=1e-5, rtol=1e-5)
