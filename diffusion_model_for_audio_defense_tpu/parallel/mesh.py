@@ -42,3 +42,24 @@ def shard_batch(mesh: Mesh, tree, axis: str = "dp"):
     """Device-put a host batch with its leading axis sharded over the mesh."""
     sh = data_shard(mesh, axis)
     return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+
+
+def dp_shard_fn(fn, mesh: Mesh, axis: str = "dp"):
+    """Wrap ``fn(*arrays) -> array`` so each device runs it on its shard of
+    the leading (batch) axis — the composition that lets a Pallas-backed
+    ε-net (which GSPMD cannot partition) ride a dp mesh inside any larger
+    jitted graph (certify chains, attack gradients). ``shard_map`` is
+    differentiable, so ``jax.grad`` through the wrapped fn yields per-shard
+    cotangents with no extra collectives (batch elements are independent).
+
+    Closed-over params inside ``fn`` must be replicated across the mesh.
+    Batch dims must divide the mesh axis size.
+    """
+    from jax import shard_map
+
+    wrapped = shard_map(
+        fn, mesh=mesh,
+        in_specs=P(axis), out_specs=P(axis),
+        check_vma=False,
+    )
+    return wrapped

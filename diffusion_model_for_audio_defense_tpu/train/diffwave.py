@@ -59,11 +59,22 @@ def make_diffwave_train_step(
     dp_axis: str = "dp",
     tp_axis: str = "tp",
     donate: bool = True,
+    use_shard_map: bool = False,
 ):
     """Returns ``step(params, opt_state, batch, rng) -> (params, opt_state, loss)``.
 
     With a mesh: batch sharded over ``dp``, params optionally sharded over
     ``tp`` (pass params already device_put with ``wavenet_param_sharding``).
+
+    ``use_shard_map=True`` (mesh required) runs the model fwd/bwd inside a
+    ``shard_map`` over ``dp`` with replicated params and a grad ``pmean`` —
+    the composition that lets an ``apply_fn`` backed by the Pallas stack
+    (which GSPMD cannot partition) keep its single-chip speedup on a
+    multi-chip mesh. The t/z draws happen OUTSIDE the shard_map from the
+    same global key as the GSPMD path, so both mesh paths see identical
+    noise and match to kernel-numerics tolerance. Replaces the reference's
+    backward-hook bucketed all-reduce (distributed_util.py:97-148) for the
+    kernel path.
     """
 
     def step(params, opt_state, batch, rng):
@@ -77,6 +88,51 @@ def make_diffwave_train_step(
 
     batch_sharding = NamedSharding(mesh, P(dp_axis))
     rng_sharding = NamedSharding(mesh, P())
+
+    if use_shard_map:
+        from jax import shard_map
+
+        def sm_step(params, opt_state, batch, rng):
+            # identical q-sample draws to the GSPMD path: one global key,
+            # arrays sharded over dp by their shardings (elementwise ops —
+            # XLA partitions them without collectives)
+            k_t, k_z = jax.random.split(rng)
+            bsz = batch.shape[0]
+            t = jax.random.randint(k_t, (bsz,), 0, schedule.T)
+            z = jax.random.normal(k_z, batch.shape, dtype=batch.dtype)
+            a = schedule.sqrt_alpha_bar[t][:, None, None]
+            b = schedule.sqrt_one_minus_alpha_bar[t][:, None, None]
+            x_t = a * batch + b * z
+
+            def per_device(params, x_t, t, z):
+                def loss_fn(p):
+                    eps = apply_fn(p, x_t, t.astype(jnp.float32)[:, None])
+                    # equal shards ⇒ mean of per-device means == global mean
+                    return jnp.mean((eps - z) ** 2)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                return (
+                    jax.lax.pmean(loss, dp_axis),
+                    jax.lax.pmean(grads, dp_axis),
+                )
+
+            loss, grads = shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(P(), P(dp_axis), P(dp_axis), P(dp_axis)),
+                out_specs=(P(), P()),
+                check_vma=False,
+            )(params, x_t, t, z)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(
+            sm_step,
+            in_shardings=(None, None, batch_sharding, rng_sharding),
+            donate_argnums=(0, 1) if donate else (),
+        )
+
     return jax.jit(
         step,
         in_shardings=(None, None, batch_sharding, rng_sharding),
@@ -123,10 +179,12 @@ class DiffWaveTrainer:
         self.opt = optax.adam(learning_rate)
         self.opt_state = self.opt.init(self.params)
         self.n_iter = self._try_resume()
-        if use_pallas and mesh is None:
-            # single-chip fast path: fused Pallas stack with the Pallas VJP
-            # (1.77x the XLA fwd+bwd at bf16 on v5e — perf/lab8_bwd.py);
-            # mesh runs keep XLA so GSPMD can partition the step
+        if use_pallas:
+            # fused Pallas stack with the Pallas VJP (1.77x the XLA fwd+bwd
+            # at bf16 on v5e — perf/lab8_bwd.py). On a mesh the step runs the
+            # kernel per-device under shard_map with a grad pmean (GSPMD
+            # cannot partition a pallas_call), keeping the kernel speedup on
+            # multi-chip; params stay replicated (tp requires the XLA path).
             from ..ops.pallas.wavenet_stack import wavenet_apply_stack
 
             apply_fn = lambda p, x, t: wavenet_apply_stack(
@@ -136,7 +194,8 @@ class DiffWaveTrainer:
         else:
             apply_fn = lambda p, x, t: model.apply(p, x, t)
         self.step_fn = make_diffwave_train_step(
-            apply_fn, schedule, self.opt, mesh=mesh, donate=False
+            apply_fn, schedule, self.opt, mesh=mesh, donate=False,
+            use_shard_map=use_pallas and mesh is not None,
         )
 
     def _try_resume(self) -> int:
