@@ -82,6 +82,7 @@ class AudioAttack:
         eot_defense_size: int = 1,
         input_is_int16_scale: bool = False,
         verbose: int = 1,
+        fused_stage_1: bool = False,
     ):
         self.model_fn = model_fn
         self.masker = masker
@@ -104,6 +105,8 @@ class AudioAttack:
         # reference scales ε by 2^-15 when inputs are float32 (:368-373)
         self.scale_factor = 1.0 if input_is_int16_scale else 2.0**-15
         self.verbose = verbose
+        self.fused_stage_1 = fused_stage_1
+        self._fused_cache = {}
         self._targeted = False
 
         # optional live model state: model_fn may accept (x, rng, *state) and
@@ -132,7 +135,8 @@ class AudioAttack:
         x = jnp.asarray(x)
         y = jnp.asarray(y)
         k1, k2 = jax.random.split(rng)
-        x_adv, success_1 = self.stage_1(x, y, k1)
+        stage_1 = self.stage_1_fused if self.fused_stage_1 else self.stage_1
+        x_adv, success_1 = stage_1(x, y, k1)
         if self.max_iter_2 > 0:
             x_adv, success_2 = self.stage_2(x, x_adv, y, k2)
             return x_adv, (success_1, success_2)
@@ -206,6 +210,124 @@ class AudioAttack:
                 x_adv[j] = x_pert_np[j]
                 success[j] = False
         return jnp.asarray(np.stack(x_adv, axis=0)), success
+
+    # ------------------------------------------- stage 1, device-resident
+
+    def _traced_predict(self, x_pert, y, rng, st):
+        """Traced mirror of ``_predict`` (same key-splitting as EOT.__call__
+        so host and fused paths see identical noise)."""
+        if self.eot_defense_size <= 1:
+            return jnp.argmax(self.model_fn(x_pert, rng, *st), axis=-1)
+        scores = None
+        total = 0
+        for n_rep in self._eot_chunk_sizes(self.eot_defense_size):
+            rng, k = jax.random.split(rng)
+            bsz = x_pert.shape[0]
+            xr = jnp.tile(x_pert, (n_rep,) + (1,) * (x_pert.ndim - 1))
+            s = self.model_fn(xr, k, *st).reshape(n_rep, bsz, -1).mean(0)
+            scores = s * n_rep if scores is None else scores + s * n_rep
+            total += n_rep
+        return jnp.argmax(scores / total, axis=-1)
+
+    def _traced_grad(self, x_pert, y, rng, st):
+        if self.eot_attack_size <= 1:
+            def f(xx):
+                return jnp.sum(cross_entropy(self.model_fn(xx, rng, *st), y))
+
+            return jax.grad(f)(x_pert)
+        grad = None
+        total = 0
+        for n_rep in self._eot_chunk_sizes(self.eot_attack_size):
+            rng, k = jax.random.split(rng)
+
+            def f(xx, k=k, n_rep=n_rep):
+                bsz = xx.shape[0]
+                xr = jnp.tile(xx, (n_rep,) + (1,) * (xx.ndim - 1))
+                yr = jnp.tile(y, (n_rep,))
+                lr_ = cross_entropy(self.model_fn(xr, k, *st), yr)
+                return jnp.sum(lr_.reshape(n_rep, bsz).mean(0))
+
+            g = jax.grad(f)(x_pert)
+            grad = g * n_rep if grad is None else grad + g * n_rep
+            total += n_rep
+        return grad / total
+
+    def stage_1_fused(self, x, y, rng):
+        """Device-resident stage 1: the whole iteration loop is ONE compiled
+        ``lax.fori_loop`` with on-device ε-shrink / best-adv masking — no
+        per-iteration host round-trips (the host path syncs predictions to
+        numpy every iter, reference ``white_box_attack.py:380-451``; fine at
+        B≤5 but max_iter_1=1000 round-trips add up). Exactly mirrors the
+        host bookkeeping: latest-hit x_adv, ε ← min(ε, ‖δ‖)·factor every
+        ``num_iter_decrease_eps`` iters on success, final extra prediction
+        pass at i = max_iter_1. Opt in with ``fused_stage_1=True`` /
+        ``--fused_stage_1`` (the host path stays default for parity).
+        """
+        eps0 = self.scale_factor * self.eps
+        lr = self.scale_factor * self.learning_rate_1
+        targeted = self._targeted
+        norm = self.norm
+
+        def run(x, y, rng, st):
+            bsz = x.shape[0]
+
+            def pert_norm(delta):
+                if norm == "linf":
+                    return jnp.max(jnp.abs(delta), axis=(1, 2))
+                return jnp.sqrt(jnp.sum(delta**2, axis=(1, 2)))
+
+            def bookkeep(i, k_pred, delta, epsilon, x_adv, found):
+                x_pert = x + delta
+                pred = self._traced_predict(x_pert, y, k_pred, st)
+                hit = (pred == y) if targeted else (pred != y)
+                x_adv = jnp.where(hit[:, None, None], x_pert, x_adv)
+                found = found | hit
+                shrink = hit & (i % self.num_iter_decrease_eps == 0) & (i > 0)
+                eps_new = jnp.minimum(epsilon, pert_norm(delta)) * self.decrease_factor_eps
+                epsilon = jnp.where(shrink, eps_new, epsilon)
+                return x_pert, epsilon, x_adv, found
+
+            def body(i, carry):
+                key, delta, epsilon, x_adv, found = carry
+                # identical key schedule to the host loop (:168)
+                key, k_pred, k_grad = jax.random.split(key, 3)
+                x_pert, epsilon, x_adv, found = bookkeep(
+                    i, k_pred, delta, epsilon, x_adv, found)
+                grad = self._traced_grad(x_pert, y, k_grad, st)
+                step = lr * jnp.sign(grad)
+                delta = delta - step if targeted else delta + step
+                delta = project_to_norm_ball(delta, norm, epsilon.astype(x.dtype))
+                delta = jnp.clip(x + delta, -1.0, 1.0) - x
+                return key, delta, epsilon, x_adv, found
+
+            delta = jnp.zeros_like(x)
+            epsilon = jnp.full((bsz,), eps0, dtype=x.dtype)
+            x_adv = jnp.zeros_like(x)
+            found = jnp.zeros((bsz,), dtype=bool)
+            key, delta, epsilon, x_adv, found = jax.lax.fori_loop(
+                0, self.max_iter_1, body, (rng, delta, epsilon, x_adv, found))
+            # final prediction pass (host loop iteration i == max_iter_1)
+            _, k_pred, _ = jax.random.split(key, 3)
+            _, _, x_adv, found = bookkeep(
+                self.max_iter_1, k_pred, delta, epsilon, x_adv, found)
+            x_adv = jnp.where(found[:, None, None], x_adv, x + delta)
+            return x_adv, found
+
+        cache_key = (x.shape, str(x.dtype), targeted, self.max_iter_1)
+        if cache_key not in self._fused_cache:
+            self._fused_cache[cache_key] = jax.jit(run)
+        x_adv, found = self._fused_cache[cache_key](x, y, rng, self._mstate)
+        found_np = np.asarray(found)
+        if self.verbose:
+            for j in np.nonzero(~found_np)[0]:
+                print(f"Adversarial attack stage 1 for x_{j} was not successful")
+        return x_adv, list(found_np)
+
+    @staticmethod
+    def _eot_chunk_sizes(eot_size):
+        # mirror of EOT.__call__'s chunking (chunk = eot_batch_size = size
+        # here, so a single chunk; kept as a list for exact key parity)
+        return [eot_size]
 
     # ------------------------------------------------------------- stage 2
 

@@ -319,3 +319,52 @@ def test_fakebob_estimate_threshold_terminates_on_stall(rng_np):
         rng=jax.random.PRNGKey(0))
     assert theta is None
     assert time.time() - t0 < 300  # bounded, not an endless spin
+
+
+def _mk_attacks(model_fn, fused, **kw):
+    base = dict(eps=2000.0, norm="linf", max_iter_1=25, max_iter_2=0,
+                learning_rate_1=400.0, verbose=0)
+    base.update(kw)
+    return AudioAttack(model_fn, fused_stage_1=fused, **base)
+
+
+def test_fused_stage1_matches_host_deterministic(rng_np):
+    """The lax.fori_loop stage 1 replays the host loop exactly: same key
+    schedule, same ε-shrink bookkeeping, same latest-hit tracking."""
+    x = jnp.asarray(rng_np.standard_normal((4, 1, L)).astype(np.float32) * 0.05)
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    model_fn = lambda xx, rng: toy_model(xx)
+    # 25 iters crosses the eps-shrink boundaries at i = 10, 20
+    host = _mk_attacks(model_fn, fused=False)
+    fused = _mk_attacks(model_fn, fused=True)
+    xa_h, (s_h, _) = host.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(0))
+    xa_f, (s_f, _) = fused.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(0))
+    assert list(s_h) == list(s_f)
+    np.testing.assert_allclose(np.asarray(xa_f), np.asarray(xa_h), atol=2e-6)
+
+
+def test_fused_stage1_matches_host_l2_and_targeted(rng_np):
+    x = jnp.asarray(rng_np.standard_normal((3, 1, L)).astype(np.float32) * 0.05)
+    y_true = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    y_tgt = jnp.asarray((y_true + 1) % NCLS)
+    model_fn = lambda xx, rng: toy_model(xx)
+    host = _mk_attacks(model_fn, fused=False, norm="l2", eps=30000.0, learning_rate_1=3000.0)
+    fused = _mk_attacks(model_fn, fused=True, norm="l2", eps=30000.0, learning_rate_1=3000.0)
+    xa_h, (s_h, _) = host.generate(x, y_tgt, targeted=True, rng=jax.random.PRNGKey(2))
+    xa_f, (s_f, _) = fused.generate(x, y_tgt, targeted=True, rng=jax.random.PRNGKey(2))
+    assert list(s_h) == list(s_f)
+    np.testing.assert_allclose(np.asarray(xa_f), np.asarray(xa_h), atol=2e-6)
+
+
+def test_fused_stage1_matches_host_with_eot_stochastic(rng_np):
+    """Key-schedule parity holds through the EOT mirrors: a stochastic
+    defense sees identical noise on both paths."""
+    x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32) * 0.05)
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    kw = dict(max_iter_1=12, eot_attack_size=3, eot_defense_size=3)
+    host = _mk_attacks(noisy_model, fused=False, **kw)
+    fused = _mk_attacks(noisy_model, fused=True, **kw)
+    xa_h, (s_h, _) = host.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(4))
+    xa_f, (s_f, _) = fused.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(4))
+    assert list(s_h) == list(s_f)
+    np.testing.assert_allclose(np.asarray(xa_f), np.asarray(xa_h), atol=2e-6)
