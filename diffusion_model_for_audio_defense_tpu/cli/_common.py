@@ -164,7 +164,10 @@ def build_defender(args, n_mels: int = 32):
         from ..models.unet import create_unet
         from ..purify.spec import RevImprovedDiffusionPurifier
 
-        unet = create_unet()
+        # --bf16 (when the CLI defines it) switches the UNet compute dtype —
+        # 1.35x the f32 forward on v5e (perf/lab13); params stay f32
+        bf16 = getattr(args, "bf16", None)
+        unet = create_unet(dtype=jnp.bfloat16 if bf16 else None)
         path = getattr(args, "ddpm_path", None)
         if path and os.path.isdir(path):
             variables = load_pytree(path)
