@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.functional import jit_hoisted
+
 
 class EOT:
     """``eot(x, y, rng, use_grad)`` → (scores, loss, grad, decisions).
@@ -64,7 +66,7 @@ class EOT:
             return scores, loss, decisions
 
         if not use_grad:
-            return jax.jit(fwd)
+            return jit_hoisted(fwd)
 
         def fwd_grad(x, y, rng, st):
             def mean_loss(xx):
@@ -74,7 +76,7 @@ class EOT:
             grad, (scores, loss, decisions) = jax.grad(mean_loss, has_aux=True)(x)
             return scores, loss, grad, decisions
 
-        return jax.jit(fwd_grad)
+        return jit_hoisted(fwd_grad)
 
     def _call_chunk(self, n_rep, x, y, rng, use_grad, st):
         key = (n_rep, use_grad)

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.functional import jit_hoisted
+
 from ..ops.ssa import inv_ssa, ssa
 
 
@@ -57,8 +59,8 @@ class Kenansville:
             scores = self.model_fn(adv, rng)
             return adv, jnp.argmax(scores, axis=-1)
 
-        self._fft_step = jax.jit(_compress_predict)
-        self._predict = jax.jit(lambda x, rng: jnp.argmax(self.model_fn(x, rng), axis=-1))
+        self._fft_step = jit_hoisted(_compress_predict)
+        self._predict = jit_hoisted(lambda x, rng: jnp.argmax(self.model_fn(x, rng), axis=-1))
 
     def generate(self, x, y, targeted: bool = False, rng=None, fs: int = 16_000):
         rng = rng if rng is not None else jax.random.PRNGKey(0)

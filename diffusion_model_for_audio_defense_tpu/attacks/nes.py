@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.functional import jit_hoisted
+
 
 
 def _nes_core(model_fn, loss_fn, samples_per_draw, sigma, decision_fn, x, y, rng, *loss_args):
@@ -52,7 +54,7 @@ def nes_grad(
     (argmax, or ``decision_fn(scores)`` for threshold tasks where −1=reject)."""
     if samples_per_draw % 2:
         raise ValueError(f"samples_per_draw must be even (antithetic pairs), got {samples_per_draw}")
-    core = jax.jit(partial(_nes_core, model_fn, loss_fn, samples_per_draw, sigma, decision_fn))
+    core = jit_hoisted(partial(_nes_core, model_fn, loss_fn, samples_per_draw, sigma, decision_fn))
 
     def estimate(x, y, rng, *loss_args):
         # extra traced args flow to loss_fn(scores, y, *loss_args) — e.g. the

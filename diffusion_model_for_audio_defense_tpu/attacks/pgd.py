@@ -25,6 +25,7 @@ import numpy as np
 
 from .eot import EOT
 from .losses import cross_entropy
+from ..core.functional import jit_hoisted
 from ..ops.stft import stft as _stft
 
 
@@ -116,7 +117,9 @@ class AudioAttack:
         # in-place-updated torch modules)
         self._mstate = ()
         self._eot = EOT(model_fn, cross_entropy, eot_size=max(eot_attack_size, eot_defense_size))
-        self._plain_scores = jax.jit(lambda x, rng, st: model_fn(x, rng, *st))
+        # jit_hoisted: system params captured by model_fn become runtime
+        # args instead of HLO constants (11x faster compiles, core/functional.py)
+        self._plain_scores = jit_hoisted(lambda x, rng, st: model_fn(x, rng, *st))
 
         def loss_and_grad(x, y, rng, st):
             def f(xx):
@@ -124,7 +127,7 @@ class AudioAttack:
 
             return jax.grad(f)(x)
 
-        self._plain_grad = jax.jit(loss_and_grad)
+        self._plain_grad = jit_hoisted(loss_and_grad)
 
     # ------------------------------------------------------------- stage 1
 
@@ -315,7 +318,7 @@ class AudioAttack:
 
         cache_key = (x.shape, str(x.dtype), targeted, self.max_iter_1)
         if cache_key not in self._fused_cache:
-            self._fused_cache[cache_key] = jax.jit(run)
+            self._fused_cache[cache_key] = jit_hoisted(run)
         x_adv, found = self._fused_cache[cache_key](x, y, rng, self._mstate)
         found_np = np.asarray(found)
         if self.verbose:
@@ -364,7 +367,7 @@ class AudioAttack:
             loss = self._psd_loss(delta, mt_stab, pm_stab)
             return loss.sum(), loss
 
-        theta_loss_grad = jax.jit(jax.grad(theta_loss_grad, has_aux=True))
+        theta_loss_grad = jit_hoisted(jax.grad(theta_loss_grad, has_aux=True))
 
         delta = x_adv - x
         early_stop = np.zeros(bsz, dtype=bool)

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.functional import jit_hoisted
+
 from .losses import resolve_loss
 
 
@@ -68,7 +70,7 @@ class SirenAttack:
             preds = jnp.argmax(scores, axis=-1).reshape(B, P)
             return loss, preds
 
-        return jax.jit(ev)
+        return jit_hoisted(ev)
 
     def generate(self, x, y, targeted: bool = False, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)

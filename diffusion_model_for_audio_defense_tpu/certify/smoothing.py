@@ -32,6 +32,7 @@ from jax import shard_map
 from scipy.stats import beta as _beta_dist
 from scipy.stats import norm as _norm
 
+from ..core.functional import jit_hoisted
 from ..core.schedules import DiffusionSchedule
 from ..purify.ddpm import one_shot_denoise
 
@@ -147,7 +148,9 @@ def make_smoothed_counts_fn(
                 out_specs=P(),
                 check_vma=False,
             )
-            _sharded_cache[chunks_per_dev] = jax.jit(fn)
+            # hoisted: classifier/eps-net params ride as replicated runtime
+            # args through the shard_map instead of baked HLO constants
+            _sharded_cache[chunks_per_dev] = jit_hoisted(fn)
         sigma = jnp.asarray(sigma, jnp.float32)
         t_star = jnp.asarray(t_star, jnp.int32)
         sqrt_abar_star = jnp.asarray(sqrt_abar_star, jnp.float32)
@@ -169,7 +172,7 @@ def make_smoothed_counts_fn(
                 out_specs=P(),
                 check_vma=False,
             )
-            _batch_cache[sig] = jax.jit(fn)
+            _batch_cache[sig] = jit_hoisted(fn)
         sigma = jnp.asarray(sigma, jnp.float32)
         t_star = jnp.asarray(t_star, jnp.int32)
         sqrt_abar_star = jnp.asarray(sqrt_abar_star, jnp.float32)

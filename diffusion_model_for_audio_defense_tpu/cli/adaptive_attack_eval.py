@@ -97,7 +97,9 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     correct_orig = correct_defended = correct_adv = success_adv_2 = total = 0
 
-    clean_fwd = jax.jit(lambda x: system(x, None, defend=False))
+    from ..core.functional import jit_hoisted
+
+    clean_fwd = jit_hoisted(lambda x: system(x, None, defend=False))
     for bi, batch in enumerate(loader):
         if args.max_batches is not None and bi >= args.max_batches:
             break

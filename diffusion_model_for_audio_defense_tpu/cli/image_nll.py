@@ -43,7 +43,9 @@ def run_bpd_evaluation(model_fn, diffusion, data, num_samples, clip_denoised,
                        rng=None, log=print, out_dir=""):
     """Reference ``image_nll.py:51-82``; returns the mean total bpd."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    bpd_fn = jax.jit(
+    from ..core.functional import jit_hoisted
+
+    bpd_fn = jit_hoisted(
         lambda x, k: diffusion.calc_bpd_loop(model_fn, x, k, clip_denoised=clip_denoised)
     )
     all_bpd, terms = [], {"vb": [], "mse": [], "xstart_mse": []}

@@ -61,7 +61,9 @@ def main(argv=None):
         return x
 
     print(f"begin sampling, total number of reverse steps = {T}")
-    sample_jit = jax.jit(sample)
+    from ..core.functional import jit_hoisted
+
+    sample_jit = jit_hoisted(sample)
     sample_jit(jax.random.PRNGKey(args.seed)).block_until_ready()  # compile
     t0 = time.perf_counter()
     audio = sample_jit(jax.random.PRNGKey(args.seed + 1)).block_until_ready()

@@ -93,7 +93,9 @@ def main(argv=None):
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False)
 
     rng = jax.random.PRNGKey(args.seed)
-    clean_fwd = jax.jit(lambda x: system(x, None, defend=False))
+    from ..core.functional import jit_hoisted
+
+    clean_fwd = jit_hoisted(lambda x: system(x, None, defend=False))
     correct_orig = correct_def = correct_adv = total = 0
     for bi, batch in enumerate(loader):
         if args.max_batches is not None and bi >= args.max_batches:

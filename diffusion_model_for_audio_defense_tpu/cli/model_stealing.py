@@ -44,7 +44,9 @@ def main(argv=None):
 
     _, _, victim_apply = build_classifier(args)
     w2s = None if args.classifier_model == "m5" else Wave2Spect(n_mels=32)
-    victim_label = jax.jit(lambda x: jnp.argmax(victim_apply(w2s(x) if w2s is not None else x), -1))
+    from ..core.functional import jit_hoisted
+
+    victim_label = jit_hoisted(lambda x: jnp.argmax(victim_apply(w2s(x) if w2s is not None else x), -1))
 
     dataset = SC09Dataset(args.data_path, transform=Compose([LoadAudio(), FixAudioLength()]),
                           num_per_class=args.num_per_class)

@@ -52,7 +52,9 @@ def main(argv=None):
         variants = [x, jnp.roll(x, shift, axis=-1), jnp.roll(x, -shift, axis=-1)]
         return sum(jax.nn.softmax(logits_fn(v), -1) for v in variants) / len(variants)
 
-    fwd = jax.jit(multi_crop_logits if args.multi_crop else logits_fn)
+    from ..core.functional import jit_hoisted
+
+    fwd = jit_hoisted(multi_crop_logits if args.multi_crop else logits_fn)
 
     tfm = Compose([LoadAudio(), FixAudioLength()])
     if args.dataset == "sc09":

@@ -93,8 +93,10 @@ def main(argv=None):
     loader = DataLoader(dataset, batch_size=args.batch_size, shuffle=False)
 
     rng = jax.random.PRNGKey(args.seed)
-    vic_clean = jax.jit(lambda x: victim(x, None, defend=False))
-    sur_clean = jax.jit(lambda x: surrogate_system(x, None, defend=False))
+    from ..core.functional import jit_hoisted
+
+    vic_clean = jit_hoisted(lambda x: victim(x, None, defend=False))
+    sur_clean = jit_hoisted(lambda x: surrogate_system(x, None, defend=False))
     stats = dict(total=0, steal_agree=0, vanilla_clean=0, vanilla_robust=0, defended_clean=0, defended_robust=0)
 
     for bi, batch in enumerate(loader):

@@ -6,3 +6,4 @@ from .schedules import (  # noqa: F401
     compute_t_star,
 )
 from . import rng  # noqa: F401
+from .functional import jit_hoisted  # noqa: F401

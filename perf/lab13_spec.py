@@ -19,6 +19,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from diffusion_model_for_audio_defense_tpu.core.functional import jit_hoisted
+
 from diffusion_model_for_audio_defense_tpu.models import resnext29_8_64
 from diffusion_model_for_audio_defense_tpu.models.unet import create_unet
 from diffusion_model_for_audio_defense_tpu.ops import Wave2Spect
@@ -53,7 +55,7 @@ def main():
                 continue
             raise
         variables = unet.init(jax.random.PRNGKey(1), spec[:1], t[:1])
-        fwd = jax.jit(lambda s, tt, v=variables, m=unet: m.apply(v, s, tt))
+        fwd = jit_hoisted(lambda s, tt, v=variables, m=unet: m.apply(v, s, tt))
         dt = bench(f"unet fwd B={B} {tag}", fwd, spec, t)
         print(f"  -> {B/dt:.0f} spec/s/chip", flush=True)
 
@@ -67,9 +69,10 @@ def main():
         purifier = RevImprovedDiffusionPurifier(model_fn, t=t_star, sample_step=1)
         Bp = 256
 
-        @jax.jit
         def purify(wave, key):
             return purifier(w2s(wave), key)
+
+        purify = jit_hoisted(purify)
 
         wave = jax.random.normal(jax.random.PRNGKey(2), (Bp, 1, 16000)) * 0.1
         dt = bench(f"spec purify t*={t_star} B={Bp} (mel+{t_star}-step SDE)",
@@ -84,7 +87,6 @@ def main():
     wave = jax.random.normal(jax.random.PRNGKey(5), (Ba, 1, 16000)) * 0.1
     y = jnp.zeros((Ba,), jnp.int32)
 
-    @jax.jit
     def attack_grad(wave, y, key):
         def loss(w):
             s = purifier(w2s(w), key)
@@ -94,8 +96,11 @@ def main():
 
         return jax.grad(loss)(wave)
 
+    # jit_hoisted is load-bearing here: with params closure-baked the grad
+    # program is ~570 MB of HLO and exceeds the axon remote-compile upload
+    # limit (HTTP 413); hoisted it is 2.3 MB and compiles in ~73 s
     bench(f"spec attack grad iter B={Ba} t*=3 (mel+SDE+ResNeXt bwd)",
-          attack_grad, wave, y, jax.random.PRNGKey(6), n=10)
+          jit_hoisted(attack_grad), wave, y, jax.random.PRNGKey(6), n=10)
 
 
 if __name__ == "__main__":

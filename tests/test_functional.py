@@ -1,0 +1,72 @@
+"""core.functional.jit_hoisted: closure constants become runtime args."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_model_for_audio_defense_tpu.core.functional import _convert, jit_hoisted
+
+
+def test_hoisted_matches_jit_and_shrinks_program(rng_np):
+    w = jnp.asarray(rng_np.standard_normal((2048, 8)).astype(np.float32))
+    b = jnp.asarray(rng_np.standard_normal((8,)).astype(np.float32))
+    f = lambda x: jnp.tanh(x @ w + b)
+    x = jnp.asarray(rng_np.standard_normal((4, 2048)).astype(np.float32))
+    hf = jit_hoisted(f)
+    np.testing.assert_allclose(np.asarray(hf(x)), np.asarray(jax.jit(f)(x)), rtol=1e-6)
+    jitted, hoisted, _, _ = _convert(f, x)
+    # w (2048*8 elems) hoisted; b (8) stays baked (tiny)
+    assert [h.shape for h in hoisted] == [(2048, 8)]
+    baked = len(jax.jit(f).lower(x).as_text())
+    small = len(jitted.lower(x, *hoisted).as_text())
+    assert small < baked / 10, (baked, small)
+
+
+def test_hoisted_pytree_in_out_and_cache(rng_np):
+    w = jnp.asarray(rng_np.standard_normal((64, 64)).astype(np.float32) * 0.1)
+    # needs >1024 elements to hoist
+    f = lambda d: {"out": d["a"] @ w, "pair": (d["a"] + 1, d["a"].sum())}
+    hf = jit_hoisted(f)
+    a = jnp.ones((2, 64))
+    r = hf({"a": a})
+    assert set(r) == {"out", "pair"} and r["out"].shape == (2, 64)
+    hf({"a": a})
+    assert len(hf._cache) == 1  # signature reuse
+    hf({"a": jnp.ones((3, 64))})
+    assert len(hf._cache) == 2  # new shape -> new entry
+
+
+def test_hoisted_through_grad_and_scan(rng_np):
+    w = jnp.asarray(rng_np.standard_normal((2048, 2048)).astype(np.float32) * 0.01)
+
+    def f(x):
+        def body(h, _):
+            return jnp.tanh(h @ w), None
+
+        h, _ = jax.lax.scan(body, x, None, length=3)
+        return h.sum()
+
+    g = jit_hoisted(jax.grad(f))
+    x = jnp.asarray(rng_np.standard_normal((2, 2048)).astype(np.float32))
+    want = np.asarray(jax.grad(f)(x))
+    np.testing.assert_allclose(np.asarray(g(x)), want, rtol=1e-5, atol=1e-6)
+    # the scan-body const must be hoisted out of the program
+    jitted, hoisted, _, _ = _convert(jax.grad(f), x)
+    assert any(h.shape == (2048, 2048) for h in hoisted)
+
+
+def test_hoisted_through_shard_map(rng_np):
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+    w = jnp.asarray(rng_np.standard_normal((2048, 4)).astype(np.float32))
+
+    def per_dev(x):
+        return jax.lax.psum(x @ w, "dp")
+
+    f = shard_map(per_dev, mesh=mesh, in_specs=P("dp"), out_specs=P(), check_vma=False)
+    x = jnp.asarray(rng_np.standard_normal((8, 2048)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(jit_hoisted(f)(x)), np.asarray(jax.jit(f)(x)), rtol=1e-5)
+    _, hoisted, _, _ = _convert(f, x)
+    assert any(h.shape == (2048, 4) for h in hoisted)
