@@ -146,3 +146,28 @@ def test_kws_driver_smoke(tmp_path):
         "--max_iter_1", "1", "--batch_size", "2", "--max_batches", "1", "--verbose", "0",
     ])
     assert "robust" in out
+
+
+KWS_REAL_CKPT = "/root/reference/audio_models/RCNN_KWS/checkpoints/vanilla-best-acc-kws-attn_rcnn-n_mels=32.pth"
+
+
+@pytest.mark.skipif(not os.path.isfile(KWS_REAL_CKPT), reason="reference checkpoints absent")
+def test_kws_driver_with_real_checkpoint(tmp_path):
+    """End-to-end KWS attack eval with the REAL converted RCNN-KWS weights
+    (one of the two trained artifacts the reference ships) — real-numerics
+    coverage of the driver, not just random-init plumbing."""
+    from diffusion_model_for_audio_defense_tpu.cli.kws_adaptive_attack_eval import main
+
+    rng = np.random.default_rng(1)
+    for cls in ["hey_android", "hey_snapdragon", "hi_galaxy", "hi_lumina"]:
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(26):
+            write_wav(str(d / f"{i:03d}.wav"), rng.standard_normal(16000) * 0.05)
+    out = main([
+        "--data_path", str(tmp_path), "--defense", "AS", "--attack", "CW",
+        "--classifier_path", KWS_REAL_CKPT,
+        "--max_iter_1", "2", "--batch_size", "2", "--max_batches", "1", "--verbose", "0",
+        "--fused_stage_1",
+    ])
+    assert "robust" in out and np.isfinite(list(out.values())).all()
