@@ -122,20 +122,15 @@ def load_diffwave_eps_fn(args, fast: bool = False):
         from ..ops.pallas.wavenet_stack import wavenet_apply_stack
 
         def eps_fn(x, t):
-            # the AD forward stashes pre-activations: 36·(B, L_pad, 2C) in the
-            # compute dtype. Above ~half of v5e HBM (16 GB), rematerialize per
-            # dilation cycle instead of OOMing (2x fwd cost; perf/lab8_bwd.py).
-            L_pad = -(-x.shape[-1] // 2048) * 2048
-            C = wavenet.res_channels
-            itemsize = jnp.dtype(dtype).itemsize
-            stash = wavenet.num_res_layers * x.shape[0] * L_pad * 2 * C * itemsize
+            # remat_cycles None = kernel auto: rematerialize per dilation
+            # cycle when the AD stash (36·(B, L_pad, 2C)) would blow HBM
+            # (2x fwd cost; perf/lab8_bwd.py / lab14 OOM at B=16 f32)
             remat = getattr(args, "remat_cycles", None)
-            if remat is None:
-                remat = stash > 8 * 1024**3
             return wavenet_apply_stack(
                 variables, x, t[:, None], num_res_layers=wavenet.num_res_layers,
                 dilation_cycle=wavenet.dilation_cycle, dtype=dtype,
-                differentiable=True, grad_params=False, remat_cycles=bool(remat))
+                differentiable=True, grad_params=False,
+                remat_cycles=None if remat is None else bool(remat))
     else:
         eps_fn = lambda x, t: wavenet.apply(variables, x, t[:, None])
     return wavenet, variables, eps_fn, schedule

@@ -47,7 +47,7 @@ def build_parser():
                              "for attack gradients (fall back to XLA autodiff)")
     parser.add_argument("--remat_cycles", type=int, default=None,
         help="force (1) / disable (0) per-cycle rematerialization in the "
-             "Pallas backward; default auto-enables above an ~8 GB stash")
+             "Pallas backward; default auto-enables above a ~12 GB stash")
     parser.add_argument("--fused_stage_1", action="store_true", default=False,
         help="run attack stage 1 as one on-device lax.fori_loop (no "
              "per-iteration host sync); host loop stays the default")

@@ -309,7 +309,7 @@ def wavenet_apply_stack(
     partition=None,
     differentiable: bool = False,
     grad_params: bool = True,
-    remat_cycles: bool = False,
+    remat_cycles: bool | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Full WaveNet forward on the fused-stack kernels.
@@ -327,6 +327,11 @@ def wavenet_apply_stack(
     products are dead weight. Training keeps ``grad_params=True``.
     ``remat_cycles=True`` bounds stashed activations to one dilation cycle
     (2× forward cost: 232.6 ms measured; use only when memory-bound).
+    ``remat_cycles=None`` (default) auto-enables when the AD stash —
+    ``num_res_layers · (B, L_pad, 2C)`` pre-activations in the compute
+    dtype — would exceed ~12 GB of the 15.75 GB v5e HBM (B=16 f32 needs
+    19 GB: measured OOM, perf/lab14; B=16 bf16 at 9.7 GB fits and stays on
+    the faster no-remat path, perf/lab8).
     """
     from ...models.wavenet import diffusion_step_embedding, swish
 
@@ -379,6 +384,9 @@ def wavenet_apply_stack(
     if L_pad != L:
         h = jnp.pad(h, ((0, 0), (0, L_pad - L), (0, 0)))
     skip_sum = jnp.zeros_like(h)
+    if remat_cycles is None:
+        stash = num_res_layers * h.shape[0] * L_pad * 2 * h.shape[-1] * jnp.dtype(dtype).itemsize
+        remat_cycles = differentiable and stash > 12 * 1024**3
     if differentiable:
         block_fn = residual_block_ad if grad_params else residual_block_ad_x
 
