@@ -31,6 +31,9 @@ REFERENCE_GPU_UTTS_PER_HR = 3.6  # documented estimate, see module docstring
 
 
 def main():
+    from diffusion_model_for_audio_defense_tpu.core.functional import enable_compilation_cache
+
+    enable_compilation_cache()  # certify graph: ~5 min compile once, ~s cached
     from diffusion_model_for_audio_defense_tpu.certify import make_smoothed_counts_fn
     from diffusion_model_for_audio_defense_tpu.core import compute_t_star, linear_schedule
     from diffusion_model_for_audio_defense_tpu.models import WaveNet, resnext29_8_64
