@@ -97,15 +97,18 @@ def sample_plain(args, log=print):
     shape = (args.batch_size, 1, args.image_size, args.image_size)
     variables = _load_variables(args.model_path, model,
                                 (jnp.zeros(shape[:1] + shape[1:]), jnp.zeros((shape[0],))))
-    model_fn = diffusion.wrap_model(lambda x, t: model.apply(variables, x, t, train=False))
     loop = diffusion.ddim_sample_loop if args.use_ddim else diffusion.p_sample_loop
     sharding = _batch_sharding(args.batch_size)
 
-    def run(noise, rng):
+    # variables threaded as a runtime arg (replicated on the mesh): baked
+    # closure params inflate the program by the full weight size and slow
+    # compiles ~10x (core/functional.py)
+    def run(variables, noise, rng):
+        model_fn = diffusion.wrap_model(lambda x, t: model.apply(variables, x, t, train=False))
         return loop(model_fn, rng=rng, x_t=noise, t_start=diffusion.num_timesteps,
                     clip_denoised=args.clip_denoised)
 
-    run = jax.jit(run, in_shardings=(sharding, None)) if sharding else jax.jit(run)
+    run = jax.jit(run, in_shardings=(None, sharding, None)) if sharding else jax.jit(run)
     rng = jax.random.PRNGKey(args.seed)
     outs = []
     while len(outs) * args.batch_size < args.num_samples:
@@ -113,7 +116,7 @@ def sample_plain(args, log=print):
         noise = jax.random.normal(kn, shape)
         if sharding is not None:
             noise = jax.device_put(noise, sharding)
-        outs.append(_to_uint8_nhwc(run(noise, ks)))
+        outs.append(_to_uint8_nhwc(run(variables, noise, ks)))
         log(f"created {len(outs) * args.batch_size} samples")
     return np.concatenate(outs, axis=0)[: args.num_samples]
 
@@ -164,14 +167,14 @@ def sample_super_res(args, log=print):
         (jnp.zeros(shape), jnp.zeros((shape[0],)), jnp.zeros(small)))
     sharding = _batch_sharding(args.batch_size)
 
-    def run(noise, low_res, rng):
+    def run(variables, noise, low_res, rng):
         model_fn = diffusion.wrap_model(
             lambda x, t: model.apply(variables, x, t, low_res=low_res, train=False))
         loop = diffusion.ddim_sample_loop if args.use_ddim else diffusion.p_sample_loop
         return loop(model_fn, rng=rng, x_t=noise, t_start=diffusion.num_timesteps,
                     clip_denoised=args.clip_denoised)
 
-    run = jax.jit(run, in_shardings=(sharding, sharding, None)) if sharding else jax.jit(run)
+    run = jax.jit(run, in_shardings=(None, sharding, sharding, None)) if sharding else jax.jit(run)
     if not args.base_samples:
         raise SystemExit("--super_res requires --base_samples (npz from a prior image_sample run)")
     data = load_base_samples(args.base_samples, args.batch_size)
@@ -184,7 +187,7 @@ def sample_super_res(args, log=print):
         if sharding is not None:
             noise = jax.device_put(noise, sharding)
             low = jax.device_put(low, sharding)
-        outs.append(_to_uint8_nhwc(run(noise, low, ks)))
+        outs.append(_to_uint8_nhwc(run(variables, noise, low, ks)))
         log(f"created {len(outs) * args.batch_size} samples")
     return np.concatenate(outs, axis=0)[: args.num_samples]
 
