@@ -175,3 +175,30 @@ def test_eps_fn_routing_flags(monkeypatch):
         assert "wavenet_apply_stack" not in eps_sk.__code__.co_freevars
     finally:
         os.unlink(path)
+
+
+def test_convert_checkpoint_cli_roundtrip(tmp_path):
+    """torch M5 checkpoint → Orbax dir → identical logits through the
+    directory-loading path every CLI uses."""
+    M5_CKPT = "/root/reference/audio_models/M5/checkpoints/kernel_size=160/vanilla-best-acc.pth"
+    if not os.path.isfile(M5_CKPT):
+        pytest.skip("reference checkpoints absent")
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_model_for_audio_defense_tpu.cli import convert_checkpoint
+    from diffusion_model_for_audio_defense_tpu.core.checkpoint import (
+        load_classifier_checkpoint,
+        load_pytree,
+    )
+    from diffusion_model_for_audio_defense_tpu.models import create_model
+
+    dst = str(tmp_path / "m5_orbax")
+    convert_checkpoint.main([M5_CKPT, dst, "--kind", "m5"])
+    direct = load_classifier_checkpoint(M5_CKPT, "m5")
+    restored = load_pytree(dst)
+    model = create_model("m5", num_classes=10, in_channels=1)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 1, 16000)).astype(np.float32) * 0.1)
+    a = np.asarray(model.apply(direct, x))
+    b = np.asarray(model.apply(restored, x))
+    np.testing.assert_array_equal(a, b)
