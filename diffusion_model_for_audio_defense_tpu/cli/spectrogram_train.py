@@ -94,7 +94,10 @@ def main(argv=None):
             return diffusion.wrap_model(
                 lambda xx, tt: model.apply(p, xx, tt, train=train, rngs=rngs))(x, t)
 
-    data = load_sc09_spectrogram_data(args.data_dir, args.batch_size)
+    from ..data.prefetch import prefetch
+
+    # thread lookahead: wave->mel batches prepare while the device trains
+    data = prefetch(load_sc09_spectrogram_data(args.data_dir, args.batch_size), depth=2)
     resume_params, resume_step = None, 0
     if args.resume_checkpoint:
         # explicit resume (reference train_util.py:114-121, step parsed from

@@ -97,7 +97,11 @@ def main(argv=None):
         segment_length=cfg["trainset_config"]["segment_length"],
         use_pallas=args.pallas and jax.default_backend() != "cpu",
     )
-    data = data_iterator(args, cfg, np.random.default_rng(args.seed))
+    from ..data.prefetch import prefetch
+
+    # background-thread lookahead replaces the reference's 8 worker
+    # processes: wav loading/collation overlaps the device step
+    data = prefetch(data_iterator(args, cfg, np.random.default_rng(args.seed)), depth=2)
     trainer.train(data, max_iters=args.max_iters)
 
 

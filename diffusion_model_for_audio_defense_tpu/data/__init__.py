@@ -9,3 +9,4 @@ from .sc_dataset import (  # noqa: F401
 from .qualcomm_kws_dataset import QUALCOMM_CLASSES, QualcommKeywordSpottingDataset  # noqa: F401
 from .loader import DataLoader  # noqa: F401
 from .image_datasets import ImageDataset, load_image_data  # noqa: F401
+from .prefetch import prefetch, prefetch_to_device  # noqa: F401

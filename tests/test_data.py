@@ -122,3 +122,46 @@ def test_read_wav_float_and_extensible(tmp_path):
     p2.write_bytes(b"RIFF" + struct.pack("<I", len(riff)) + riff)
     y2, _ = read_wav(str(p2))
     np.testing.assert_allclose(y2, x, atol=1e-7)
+
+
+def test_prefetch_matches_sequential_and_propagates_errors():
+    from diffusion_model_for_audio_defense_tpu.data import prefetch
+
+    items = list(prefetch(iter(range(20)), depth=3))
+    assert items == list(range(20))
+
+    def boom():
+        yield 1
+        raise ValueError("loader died")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="loader died"):
+        next(it)
+
+
+def test_prefetch_to_device_puts_arrays():
+    import jax
+    import numpy as np
+
+    from diffusion_model_for_audio_defense_tpu.data import prefetch_to_device
+
+    batches = [{"x": np.ones((2, 4), np.float32) * i, "meta": i} for i in range(3)]
+    out = list(prefetch_to_device(batches, depth=2))
+    assert len(out) == 3
+    assert isinstance(out[1]["x"], jax.Array)
+    assert out[2]["meta"] == 2
+    np.testing.assert_array_equal(np.asarray(out[1]["x"]), np.ones((2, 4)) * 1)
+
+
+def test_prefetch_infinite_generator_stops_cleanly():
+    import itertools
+
+    from diffusion_model_for_audio_defense_tpu.data import prefetch
+
+    gen = prefetch(itertools.count(), depth=2)
+    got = [next(gen) for _ in range(5)]
+    assert got == [0, 1, 2, 3, 4]
+    gen.close()  # must not hang
