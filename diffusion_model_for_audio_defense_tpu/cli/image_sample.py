@@ -70,10 +70,9 @@ def _batch_sharding(batch_size: int):
     devs = jax.devices()
     if len(devs) == 1 or batch_size % len(devs) != 0:
         return None
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from ..parallel import data_shard, device_mesh
 
-    mesh = Mesh(np.asarray(devs), ("dp",))
-    return NamedSharding(mesh, P("dp"))
+    return data_shard(device_mesh(("dp",)))
 
 
 def sample_plain(args, log=print):

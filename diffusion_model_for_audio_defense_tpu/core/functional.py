@@ -39,22 +39,29 @@ def _signature(args):
 def _has_pallas(jaxpr, _depth=0):
     """True if any (nested) eqn is a pallas_call — those graphs compile
     FASTER with weights baked (the consts feed an opaque kernel, so XLA does
-    no constant-folding on them; hoisting measured 349 s vs 117 s baked on
-    the production attack graph)."""
+    no constant-folding on them; hoisting measured 349 s vs 265 s baked on
+    the production attack graph). Sub-jaxprs appear either as ClosedJaxpr
+    params (``.jaxpr``) or as raw Jaxpr params (``.eqns`` — e.g. remat2 and
+    shard_map), so both spellings are recursed."""
     if _depth > 12:
         return False
+
+    def _sub(v):
+        if hasattr(v, "jaxpr"):  # ClosedJaxpr (scan, cond, pjit, ...)
+            return v.jaxpr
+        if hasattr(v, "eqns"):  # raw Jaxpr (remat2, shard_map, ...)
+            return v
+        return None
+
     for eqn in jaxpr.eqns:
         if "pallas" in eqn.primitive.name:
             return True
         for v in eqn.params.values():
-            sub = getattr(v, "jaxpr", None)
-            if sub is not None and _has_pallas(sub, _depth + 1):
-                return True
-            if isinstance(v, (list, tuple)):
-                for vv in v:
-                    sub = getattr(vv, "jaxpr", None)
-                    if sub is not None and _has_pallas(sub, _depth + 1):
-                        return True
+            vs = v if isinstance(v, (list, tuple)) else (v,)
+            for vv in vs:
+                sub = _sub(vv)
+                if sub is not None and _has_pallas(sub, _depth + 1):
+                    return True
     return False
 
 

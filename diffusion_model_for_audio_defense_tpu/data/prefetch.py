@@ -23,17 +23,29 @@ from typing import Iterable, Iterator, Optional
 _DONE = object()
 
 
+def _put(queue_, stop, item) -> bool:
+    """Bounded put that gives up when the consumer is gone — a plain
+    ``put()`` on a full queue would block forever after ``close()``,
+    pinning the thread + its pending batches."""
+    while not stop.is_set():
+        try:
+            queue_.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 def _iterate_into(queue_, it, stop):
     try:
         for item in it:
-            if stop.is_set():
+            if not _put(queue_, stop, item):
                 return
-            queue_.put(item)
     except BaseException as e:  # surface loader errors in the consumer
-        queue_.put(e)
+        _put(queue_, stop, e)
         return
     finally:
-        queue_.put(_DONE)
+        _put(queue_, stop, _DONE)
 
 
 def prefetch(iterable: Iterable, depth: int = 2) -> Iterator:

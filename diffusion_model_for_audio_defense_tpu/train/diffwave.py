@@ -21,15 +21,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.schedules import DiffusionSchedule
 
 
-def diffwave_loss(apply_fn, params, schedule: DiffusionSchedule, batch: jnp.ndarray, rng) -> jnp.ndarray:
-    """ε-prediction MSE (reference ``util.py:161-185``). batch: (B, 1, L)."""
+def q_sample_draws(schedule: DiffusionSchedule, batch: jnp.ndarray, rng):
+    """Draw (x_t, t, z) for the ε-MSE objective — ONE implementation shared
+    by the GSPMD and shard_map train steps, so both mesh paths see identical
+    noise by construction (the parity test depends on it)."""
     k_t, k_z = jax.random.split(rng)
     bsz = batch.shape[0]
     t = jax.random.randint(k_t, (bsz,), 0, schedule.T)
     z = jax.random.normal(k_z, batch.shape, dtype=batch.dtype)
     a = schedule.sqrt_alpha_bar[t][:, None, None]
     b = schedule.sqrt_one_minus_alpha_bar[t][:, None, None]
-    x_t = a * batch + b * z
+    return a * batch + b * z, t, z
+
+
+def diffwave_loss(apply_fn, params, schedule: DiffusionSchedule, batch: jnp.ndarray, rng) -> jnp.ndarray:
+    """ε-prediction MSE (reference ``util.py:161-185``). batch: (B, 1, L)."""
+    x_t, t, z = q_sample_draws(schedule, batch, rng)
     eps = apply_fn(params, x_t, t.astype(jnp.float32)[:, None])
     return jnp.mean((eps - z) ** 2)
 
@@ -93,16 +100,10 @@ def make_diffwave_train_step(
         from jax import shard_map
 
         def sm_step(params, opt_state, batch, rng):
-            # identical q-sample draws to the GSPMD path: one global key,
-            # arrays sharded over dp by their shardings (elementwise ops —
-            # XLA partitions them without collectives)
-            k_t, k_z = jax.random.split(rng)
-            bsz = batch.shape[0]
-            t = jax.random.randint(k_t, (bsz,), 0, schedule.T)
-            z = jax.random.normal(k_z, batch.shape, dtype=batch.dtype)
-            a = schedule.sqrt_alpha_bar[t][:, None, None]
-            b = schedule.sqrt_one_minus_alpha_bar[t][:, None, None]
-            x_t = a * batch + b * z
+            # identical q-sample draws to the GSPMD path (shared helper):
+            # one global key, arrays sharded over dp by their shardings
+            # (elementwise ops — XLA partitions them without collectives)
+            x_t, t, z = q_sample_draws(schedule, batch, rng)
 
             def per_device(params, x_t, t, z):
                 def loss_fn(p):

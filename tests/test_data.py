@@ -165,3 +165,22 @@ def test_prefetch_infinite_generator_stops_cleanly():
     got = [next(gen) for _ in range(5)]
     assert got == [0, 1, 2, 3, 4]
     gen.close()  # must not hang
+
+
+def test_prefetch_producer_thread_exits_after_close():
+    import itertools
+    import threading
+    import time
+
+    from diffusion_model_for_audio_defense_tpu.data import prefetch
+
+    before = threading.active_count()
+    gen = prefetch(itertools.count(), depth=2)
+    assert next(gen) == 0
+    gen.close()
+    # the producer must unblock from its full-queue put and exit
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before

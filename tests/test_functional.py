@@ -70,3 +70,42 @@ def test_hoisted_through_shard_map(rng_np):
     np.testing.assert_allclose(np.asarray(jit_hoisted(f)(x)), np.asarray(jax.jit(f)(x)), rtol=1e-5)
     _, hoisted, _, _ = _convert(f, x)
     assert any(h.shape == (2048, 4) for h in hoisted)
+
+
+def test_has_pallas_sees_through_checkpoint_scan_and_shard_map(rng_np):
+    """The pallas-bake guard must detect kernels under remat2 (jax.checkpoint
+    — every purifier wraps the ε-net this way) and shard_map (certify) whose
+    eqn params are raw Jaxprs, not ClosedJaxprs."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    from diffusion_model_for_audio_defense_tpu.core.functional import _has_pallas
+    from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_block import (
+        fused_residual_block,
+    )
+
+    C = 8
+    h = jnp.asarray(rng_np.standard_normal((1, 1024, C)).astype(np.float32) * 0.1)
+    tb = jnp.zeros((1, C)); wd = jnp.zeros((3, C, 2 * C)); bd = jnp.zeros((2 * C,))
+    wrs = jnp.zeros((C, 2 * C)); brs = jnp.zeros((2 * C,))
+
+    def block(x):
+        h2, _ = fused_residual_block(x, tb, wd, bd, wrs, brs, dilation=1,
+                                     tile_l=1024, interpret=True)
+        return h2
+
+    def scanned_remat(x):
+        body = jax.checkpoint(lambda c, _: (block(c), None))
+        out, _ = jax.lax.scan(body, x, None, length=2)
+        return out
+
+    assert _has_pallas(jax.make_jaxpr(block)(h).jaxpr)
+    assert _has_pallas(jax.make_jaxpr(scanned_remat)(h).jaxpr)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+    sharded = shard_map(block, mesh=mesh, in_specs=P("dp"), out_specs=P("dp"),
+                        check_vma=False)
+    x8 = jnp.asarray(rng_np.standard_normal((8, 1024, C)).astype(np.float32) * 0.1)
+    assert _has_pallas(jax.make_jaxpr(sharded)(x8).jaxpr)
+    # and a pallas-free fn stays hoistable
+    assert not _has_pallas(jax.make_jaxpr(lambda x: jnp.tanh(x) @ jnp.ones((C, C)))(h).jaxpr)
