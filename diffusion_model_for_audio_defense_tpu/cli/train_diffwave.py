@@ -97,11 +97,18 @@ def main(argv=None):
         segment_length=cfg["trainset_config"]["segment_length"],
         use_pallas=args.pallas and jax.default_backend() != "cpu",
     )
-    from ..data.prefetch import prefetch
+    from ..data.prefetch import prefetch, prefetch_to_device
 
     # background-thread lookahead replaces the reference's 8 worker
-    # processes: wav loading/collation overlaps the device step
-    data = prefetch(data_iterator(args, cfg, np.random.default_rng(args.seed)), depth=2)
+    # processes: wav loading/collation (and on a mesh, the dp-sharded
+    # device_put) overlaps the device step
+    raw = data_iterator(args, cfg, np.random.default_rng(args.seed))
+    if mesh is not None:
+        from ..parallel import data_shard
+
+        data = prefetch_to_device(raw, depth=2, sharding=data_shard(mesh))
+    else:
+        data = prefetch(raw, depth=2)
     trainer.train(data, max_iters=args.max_iters)
 
 
