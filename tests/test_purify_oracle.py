@@ -240,3 +240,60 @@ def test_q_jump_matches_reference_diffusion(oracle, rng_np):
     with _InjectedNoise([_jax_noise(key, x0.shape)]), torch.no_grad():
         golden = ref._diffusion(torch.from_numpy(x0)).numpy()
     np.testing.assert_allclose(ours, golden, atol=1e-5, rtol=1e-5)
+
+
+def test_vpsde_loop_oracle(oracle, rng_np):
+    """VP-SDE purifier vs the reference ``RevVPSDE`` drift/diffusion (the
+    one purifier family torchsde's absence otherwise leaves un-oracled):
+    torchsde's Euler scheme is replicated exactly (x += f·h + g·√h·z over
+    the dt=1/N grid with a partial last step, ``diffwave_sde.py:193-204``)
+    but driven by the reference class's own ``f``/``g`` with injected noise.
+    Grid times are carried in exact f64 so the s·N timestep index is the
+    exact-math integer both sides agree on (our scan uses round() for the
+    same reason)."""
+    ddpm_mod, _, net, eps_fn, hp, sched = oracle
+    import types
+
+    if "torchsde" not in sys.modules:  # imported at diffwave_sde.py top; unused here
+        sys.modules["torchsde"] = types.ModuleType("torchsde")
+    sde_mod = importlib.import_module("diffusion_models.diffwave_sde")
+
+    from diffusion_model_for_audio_defense_tpu.purify.sde import _sde_grid, vpsde_purify
+
+    t_star = 6
+    x0 = _x0(rng_np)
+    rng = jax.random.PRNGKey(31)
+    ours = np.asarray(vpsde_purify(eps_fn, sched, jnp.asarray(x0), t_star, rng))
+
+    # replay our PRNG draws: q-jump e, then one z per Euler step
+    key = jax.random.split(rng, 1)[0]
+    k1, k2 = jax.random.split(key)
+    e = _jax_noise(k1, x0.shape)
+    taus, hs = _sde_grid(t_star, T)
+    keys = jax.random.split(k2, len(taus))
+    zs = [_jax_noise(k, x0.shape) for k in keys]
+
+    ref_dw = ddpm_mod.DiffWave(net, hp, reverse_timestep=t_star)
+    rev = sde_mod.RevVPSDE(model=ref_dw, score_type="guided_diffusion",
+                           beta_min=1e-4 * T, beta_max=0.02 * T, N=T,
+                           audio_shape=(1, L))
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda t, *a, **k: t
+    try:
+        with torch.no_grad():
+            a = (1 - rev.discrete_betas).cumprod(dim=0)
+            x = (torch.from_numpy(x0) * a[t_star - 1].sqrt()
+                 + torch.from_numpy(e) * (1.0 - a[t_star - 1]).sqrt())
+            bsz = x0.shape[0]
+            x_ = x.view(bsz, -1)
+            for tau, h, z in zip(taus, hs, zs):
+                # f64 time keeps the s·N timestep index exact; state stays f32
+                tt = torch.full((1,), float(tau), dtype=torch.float64)
+                f = rev.f(tt, x_)
+                g = rev.g(tt, x_)
+                x_ = (x_ + f * h + g * float(np.sqrt(h))
+                      * torch.from_numpy(z.copy()).view(bsz, -1)).to(torch.float32)
+            golden = x_.view(*x0.shape).numpy()
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    np.testing.assert_allclose(ours, golden, atol=1e-3, rtol=1e-3)
