@@ -297,3 +297,78 @@ def test_vpsde_loop_oracle(oracle, rng_np):
     finally:
         torch.Tensor.cuda = orig_cuda
     np.testing.assert_allclose(ours, golden, atol=1e-3, rtol=1e-3)
+
+
+def test_spec_vpsde_loop_oracle(rng_np):
+    """Spec-domain VP-SDE solver vs the reference image ``RevVPSDE``
+    (``improved_diffusion_sde.py:48-137``): continuous-ᾱ score, linear
+    β(s) = β₀ + s(β₁−β₀), g = √β — different math from the waveform variant
+    (no discrete scale factor). torchsde's Euler (dt=1e-3) is replicated
+    manually with injected noise; the ε-net is a tiny closed-form model
+    mirrored exactly on both sides (the real UNet's converter parity is
+    covered by test_unet_converter)."""
+    import types
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    for name in ("torchvision", "torchvision.utils", "torchvision.transforms",
+                 "torchaudio", "torchaudio.datasets", "torchaudio.datasets.utils",
+                 "torchaudio.transforms", "librosa", "torchsde", "mpi4py", "blobfile"):
+        mod = types.ModuleType(name)
+        mod.__all__ = []
+        sys.modules.setdefault(name, mod)
+    tv = sys.modules["torchvision"]
+    tv.__path__ = getattr(tv, "__path__", [])
+    tv.utils = sys.modules["torchvision.utils"]
+    tv.transforms = sys.modules["torchvision.transforms"]
+    ta = sys.modules["torchaudio"]
+    ta.__path__ = getattr(ta, "__path__", [])
+    ta.transforms = sys.modules["torchaudio.transforms"]
+    ta.datasets = sys.modules["torchaudio.datasets"]
+    for name in ("torchvision.transforms", "torchaudio.transforms"):
+        sys.modules[name].__all__ = []
+    sde_mod = importlib.import_module("diffusion_models.improved_diffusion_sde")
+
+    from diffusion_model_for_audio_defense_tpu.purify.spec import spec_vpsde_reverse
+
+    N, beta_min, beta_max = 1000, 0.1, 20.0
+    H = 8
+    w = rng_np.standard_normal((1, 1, 1, 1)).astype(np.float32) * 0.5
+    b = np.float32(0.1)
+
+    def eps_jax(x, t):  # t: (B,) float timestep index
+        return jnp.tanh(x) * w[0, 0, 0, 0] + b + 1e-3 * t[:, None, None, None]
+
+    class TorchEps(torch.nn.Module):
+        def forward(self, x, disc_steps):
+            return (torch.tanh(x) * float(w[0, 0, 0, 0]) + float(b)
+                    + 1e-3 * disc_steps.float()[:, None, None, None])
+
+    t_star = 5
+    x_t = jnp.asarray(rng_np.standard_normal((2, 1, H, H)).astype(np.float32) * 0.3)
+    rng = jax.random.PRNGKey(41)
+    ours = np.asarray(spec_vpsde_reverse(eps_jax, x_t, t_star, rng, N, beta_min, beta_max))
+
+    # replay the scan's grid + noise into a manual torchsde-Euler over the
+    # reference f/g (dt = 1e-3, partial last step to t1 = 1 - 1e-5)
+    t0 = 1.0 - t_star / N
+    grid = np.arange(t0, 1.0 - 1e-5, 1e-3)
+    grid = np.concatenate([grid, [1.0 - 1e-5]])
+    taus, hs = grid[:-1], np.diff(grid)
+    keys = jax.random.split(rng, len(taus))
+    zs = [_jax_noise(k, x_t.shape) for k in keys]
+
+    rev = sde_mod.RevVPSDE(model=TorchEps(), score_type="guided_diffusion",
+                           beta_min=beta_min, beta_max=beta_max, N=N,
+                           img_shape=(1, H, H))
+    with torch.no_grad():
+        bsz = x_t.shape[0]
+        x_ = torch.from_numpy(np.asarray(x_t)).view(bsz, -1)
+        for tau, h, z in zip(taus, hs, zs):
+            tt = torch.full((1,), float(tau), dtype=torch.float64)
+            f = rev.f(tt, x_)
+            g = rev.g(tt, x_)
+            x_ = (x_ + f * h + g * float(np.sqrt(h))
+                  * torch.from_numpy(z.copy()).view(bsz, -1)).to(torch.float32)
+        golden = x_.view(*x_t.shape).numpy()
+    np.testing.assert_allclose(ours, golden, atol=1e-3, rtol=1e-3)
