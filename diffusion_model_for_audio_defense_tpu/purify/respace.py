@@ -49,11 +49,14 @@ class SpacedDiffusion(GaussianDiffusion):
         self.use_timesteps = set(use_timesteps)
         self.original_num_steps = len(betas)
 
-        base = GaussianDiffusion(betas=betas, **kwargs)
         last_alpha_cumprod = 1.0
         new_betas = []
         self.timestep_map = []
-        acp = np.asarray(base.alphas_cumprod, dtype=np.float64)
+        # float64 schedule precompute like the reference (its base
+        # GaussianDiffusion keeps f64 alphas_cumprod; reading back our f32
+        # device tables here cost ~1e-5 relative error in the respaced betas
+        # — caught by the oracle against the real respace.SpacedDiffusion)
+        acp = np.cumprod(1.0 - np.asarray(betas, dtype=np.float64))
         for i in range(len(betas)):
             if i in self.use_timesteps:
                 new_betas.append(1 - acp[i] / last_alpha_cumprod)
