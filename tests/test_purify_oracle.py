@@ -372,3 +372,27 @@ def test_spec_vpsde_loop_oracle(rng_np):
                   * torch.from_numpy(z.copy()).view(bsz, -1)).to(torch.float32)
         golden = x_.view(*x_t.shape).numpy()
     np.testing.assert_allclose(ours, golden, atol=1e-3, rtol=1e-3)
+
+
+def test_ssa_oracle_vs_reference(rng_np):
+    """ops/ssa vs the actual reference ``_ssa_core.{ssa,inv_ssa}`` (torch
+    SVD + nn.Fold reconstruction). Reconstructions from the same component
+    set must agree regardless of SVD sign conventions."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    ref = importlib.import_module("robustness_eval._ssa_core")
+
+    from diffusion_model_for_audio_defense_tpu.ops.ssa import inv_ssa, ssa
+
+    y = rng_np.standard_normal(200).astype(np.float64)
+    dim = 30
+    pc, s, v = ssa(y, dim)
+    pc_r, s_r, v_r = ref.ssa(torch.from_numpy(y), dim)
+    np.testing.assert_allclose(s, np.asarray(s_r), rtol=1e-8)
+    for k in ([0], [0, 1, 2], list(range(10))):
+        ours = inv_ssa(pc, v, k)
+        theirs = ref.inv_ssa(pc_r, v_r, k)
+        np.testing.assert_allclose(ours, np.asarray(theirs).ravel(), atol=1e-8,
+                                   err_msg=f"components {k}")
+    # full reconstruction is the identity on both sides
+    np.testing.assert_allclose(inv_ssa(pc, v, list(range(dim))), y, atol=1e-8)
