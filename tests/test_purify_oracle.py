@@ -396,3 +396,20 @@ def test_ssa_oracle_vs_reference(rng_np):
                                    err_msg=f"components {k}")
     # full reconstruction is the identity on both sides
     np.testing.assert_allclose(inv_ssa(pc, v, list(range(dim))), y, atol=1e-8)
+
+
+def test_kenansville_fft_compression_oracle(rng_np):
+    """attacks.kenansville.fft_compression vs the reference batched variant
+    (``_KenanFFT.py:57-82``: zero rFFT bins with |F| < factor, irfft)."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    kfft = importlib.import_module("robustness_eval._KenanFFT")
+
+    from diffusion_model_for_audio_defense_tpu.attacks.kenansville import fft_compression
+
+    x = rng_np.standard_normal((3, 1, 256)).astype(np.float32) * 0.3
+    factors = np.asarray([0.5, 2.0, 10.0], dtype=np.float32)
+    ours = np.asarray(fft_compression(jnp.asarray(x), jnp.asarray(factors)))
+    theirs = kfft.fft_compression(torch.from_numpy(x.copy()),
+                                  torch.from_numpy(factors.copy()), fs=16000).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)
