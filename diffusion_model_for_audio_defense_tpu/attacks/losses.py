@@ -41,20 +41,23 @@ def margin_loss(
     "rejected" for threshold tasks:
 
     - SCR/CSI: untargeted f = s_y + κ − max_{i≠y} s_i;
-      targeted f = max_{i≠t} s_i + κ − s_t.
-    - SV (scores ``(B,1)``, decision s ≥ θ): targeted (force accept)
-      f = θ + κ − s; untargeted on an accepted input f = s + κ − θ, on a
-      rejected input (y = −1) f = θ + κ − s.
+      targeted f = max_{i≠t} s_i + κ − s_t; label −1 rows contribute 0
+      (reference ``_utils.py:95-97``).
+    - SV (scores ``(B,1)``, decision s ≥ θ): enrolled (y = 0) targeted
+      f = θ + κ − s / untargeted f = s + κ − θ; imposter rows (y = −1)
+      swap the two (reference ``_utils.py:47-59``).
     - OSI: targeted f = max(max_{i≠t} s_i, θ) + κ − s_t; untargeted on an
-      enrolled y f = s_y + κ − max(max_{i≠y} s_i, θ), on a rejected input
-      f = θ + κ − max_i s_i.
+      enrolled y f = min(max_i s_i + κ − θ, max(s_y, θ) + κ − max_{i≠y} s_i)
+      (reject-or-misclassify, reference ``_utils.py:80-83``); rejected
+      input f = θ + κ − max_i s_i.
     """
     if task in ("SV", "OSI") and threshold is None:
         raise ValueError(f"{task} margin loss needs the decision threshold")
     if task == "SV":
         s = scores[:, 0]
         if targeted:
-            loss = threshold + confidence - s
+            loss = jnp.where(labels >= 0, threshold + confidence - s,
+                             s + confidence - threshold)
         else:
             loss = jnp.where(labels >= 0, s + confidence - threshold,
                              threshold + confidence - s)
@@ -64,11 +67,19 @@ def margin_loss(
         score_real = jnp.sum(onehot * scores, axis=-1)
         score_other = jnp.max((1 - onehot) * scores - onehot * 10000.0, axis=-1)
         if targeted:
-            loss = jnp.maximum(score_other, threshold) + confidence - score_real
-        else:
             loss = jnp.where(
                 labels >= 0,
-                score_real + confidence - jnp.maximum(score_other, threshold),
+                jnp.maximum(score_other, threshold) + confidence - score_real,
+                jnp.max(scores, axis=-1) + confidence - threshold,
+            )
+        else:
+            # enrolled: success = rejected OR misclassified (reference
+            # min(f_reject, f_mis), _utils.py:80-83)
+            f_reject = jnp.max(scores, axis=-1) + confidence - threshold
+            f_mis = jnp.maximum(score_real, threshold) + confidence - score_other
+            loss = jnp.where(
+                labels >= 0,
+                jnp.minimum(f_reject, f_mis),
                 threshold + confidence - jnp.max(scores, axis=-1),
             )
     else:
@@ -76,6 +87,7 @@ def margin_loss(
         score_real = jnp.sum(onehot * scores, axis=-1)
         score_other = jnp.max((1 - onehot) * scores - onehot * 10000.0, axis=-1)
         loss = (score_other + confidence - score_real) if targeted else (score_real + confidence - score_other)
+        loss = jnp.where(labels >= 0, loss, 0.0)  # imposter rows: 0 (reference :95-97)
     if clip_max:
         loss = jnp.maximum(loss, 0.0)
     return loss
@@ -130,12 +142,13 @@ def resolve_loss(
 
 def resolve_prediction(decisions) -> np.ndarray:
     """Majority vote over per-draw decisions (n_draws, n_audios) → (n_audios,)
-    (reference ``_utils.py:129-136``)."""
+    (reference ``_utils.py:129-136``). Ties break toward the label seen
+    FIRST in draw order, matching ``Counter.most_common`` (np.unique's
+    smallest-label tie-break diverged from the reference on 2-2-1 splits —
+    caught by the oracle)."""
+    from collections import Counter
+
     decisions = np.asarray(decisions)
     if decisions.ndim == 1:
         return decisions
-    out = []
-    for col in decisions.T:
-        vals, counts = np.unique(col, return_counts=True)
-        out.append(vals[np.argmax(counts)])
-    return np.asarray(out)
+    return np.asarray([Counter(col).most_common(1)[0][0] for col in decisions.T])

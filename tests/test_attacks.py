@@ -237,7 +237,9 @@ def test_margin_loss_sv_osi_formulas():
     # accepted input: s - theta = 0.3 ; rejected input: theta - s = 0.3
     np.testing.assert_allclose(np.asarray(un), [0.3, 0.3], atol=1e-6)
     tg = margin_loss(s, y, targeted=True, task="SV", threshold=0.5, clip_max=False)
-    np.testing.assert_allclose(np.asarray(tg), [-0.3, 0.3], atol=1e-6)
+    # enrolled targeted: theta - s = -0.3; imposter targeted (the reference's
+    # enroll->imposter DoS branch, _utils.py:55-57): s - theta = -0.3
+    np.testing.assert_allclose(np.asarray(tg), [-0.3, -0.3], atol=1e-6)
 
     # OSI: threshold 1.0
     sc = jnp.asarray([[2.0, 0.5, 0.1], [0.4, 0.9, 0.2]])

@@ -413,3 +413,50 @@ def test_kenansville_fft_compression_oracle(rng_np):
     theirs = kfft.fft_compression(torch.from_numpy(x.copy()),
                                   torch.from_numpy(factors.copy()), fs=16000).numpy()
     np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-4)
+
+
+def test_margin_loss_and_decision_oracle(rng_np):
+    """attacks.losses margin/decision vs the reference ``_utils.py``
+    SEC4SR_MarginLoss + resolve_prediction, across CSI/SV/OSI tasks and
+    targeted/untargeted."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    ru = importlib.import_module("robustness_eval._utils")
+
+    from diffusion_model_for_audio_defense_tpu.attacks.losses import (
+        make_decision,
+        margin_loss,
+        resolve_prediction,
+    )
+
+    scores = rng_np.standard_normal((6, 4)).astype(np.float32)
+    y = rng_np.integers(0, 4, 6)
+    y[4:] = -1  # include rejected/imposter rows in every task
+    for task in ("CSI", "SV", "OSI"):
+        if task == "SV":
+            s = scores[:, :1]
+            yy = np.zeros(6, dtype=np.int64)
+            yy[4:] = -1
+        else:
+            s, yy = scores, y
+        for targeted in (False, True):
+            ref_loss = ru.SEC4SR_MarginLoss(targeted=targeted, confidence=0.5,
+                                            task=task, threshold=0.1, clip_max=False)
+            want = ref_loss(torch.from_numpy(s.copy()), torch.from_numpy(yy.copy())).numpy()
+            got = np.asarray(margin_loss(jnp.asarray(s), jnp.asarray(yy), targeted,
+                                         0.5, task, threshold=0.1, clip_max=False))
+            np.testing.assert_allclose(got, want, atol=1e-6,
+                                       err_msg=f"{task} targeted={targeted}")
+        if task in ("SV", "OSI"):
+            want_d = ru.make_decision(torch.from_numpy(s.copy()), task=task, threshold=0.1)[0].numpy() \
+                if hasattr(ru, "make_decision") else None
+            if want_d is not None:
+                got_d = np.asarray(make_decision(jnp.asarray(s), task, threshold=0.1))
+                np.testing.assert_array_equal(got_d, want_d)
+
+    # resolve_prediction majority vote vs the reference (ours takes
+    # (draws, audios); the reference iterates per-audio rows, so transpose)
+    dec = rng_np.integers(0, 4, (5, 6))
+    want = ru.resolve_prediction(dec.T.copy())
+    got = resolve_prediction(dec)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
