@@ -460,3 +460,38 @@ def test_margin_loss_and_decision_oracle(rng_np):
     want = ru.resolve_prediction(dec.T.copy())
     got = resolve_prediction(dec)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_eot_oracle_vs_reference(rng_np):
+    """EOT wrapper vs the reference ``_EOT.py``: same repeat layout
+    (batch-major tiling), replica-averaged scores/loss/input-grad, per-draw
+    decisions. Deterministic linear model mirrored on both sides so draws
+    are exactly comparable; chunking 4 = 2×2 exercises the multi-batch
+    accumulation path."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    reot = importlib.import_module("robustness_eval._EOT")
+
+    from diffusion_model_for_audio_defense_tpu.attacks import EOT, cross_entropy
+
+    B, Lw, C = 3, 32, 4
+    W = rng_np.standard_normal((Lw, C)).astype(np.float32) * 0.5
+    x = rng_np.standard_normal((B, 1, Lw)).astype(np.float32)
+    y = rng_np.integers(0, C, B)
+
+    jax_model = lambda xx, rng: xx[:, 0, :] @ jnp.asarray(W)
+    eot = EOT(jax_model, cross_entropy, eot_size=4, eot_batch_size=2)
+    scores, loss, grad, decisions = eot(jnp.asarray(x), jnp.asarray(y),
+                                        jax.random.PRNGKey(0), use_grad=True)
+
+    t_model = lambda xx: xx[:, 0, :] @ torch.from_numpy(W.copy())
+    t_loss = torch.nn.CrossEntropyLoss(reduction="none")
+    ref = reot.EOT(t_model, t_loss, EOT_size=4, EOT_batch_size=2, use_grad=True)
+    xt = torch.from_numpy(x.copy()).requires_grad_(True)
+    w_scores, w_loss, w_grad, w_dec = ref(xt, torch.from_numpy(y.copy()))
+
+    np.testing.assert_allclose(np.asarray(scores), w_scores.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(loss), w_loss.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad), w_grad.detach().numpy(), atol=1e-5)
+    # decisions: ours (draws, audios); reference list-per-audio
+    np.testing.assert_array_equal(np.asarray(decisions).T, np.asarray(w_dec))
