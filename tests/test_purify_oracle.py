@@ -495,3 +495,50 @@ def test_eot_oracle_vs_reference(rng_np):
     np.testing.assert_allclose(np.asarray(grad), w_grad.detach().numpy(), atol=1e-5)
     # decisions: ours (draws, audios); reference list-per-audio
     np.testing.assert_array_equal(np.asarray(decisions).T, np.asarray(w_dec))
+
+
+def test_nes_oracle_vs_reference(rng_np):
+    """NES estimator vs the reference ``_NES.py`` (antithetic pairs, clean
+    point prepended, grad = E[loss·noise]/σ) with ``torch.randn``
+    monkeypatched to our exact noise draw. Single chunk + EOT_size=1 so the
+    reference's double-division quirk (loss.data /= EOT_num_batches on
+    already-averaged losses) divides by 1 and both sides agree."""
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    rnes = importlib.import_module("robustness_eval._NES")
+    reot = importlib.import_module("robustness_eval._EOT")
+
+    from diffusion_model_for_audio_defense_tpu.attacks import cross_entropy
+    from diffusion_model_for_audio_defense_tpu.attacks.nes import nes_grad
+
+    B, Lw, C, S = 2, 32, 4, 6
+    sigma = 0.01
+    W = rng_np.standard_normal((Lw, C)).astype(np.float32) * 0.5
+    x = rng_np.standard_normal((B, 1, Lw)).astype(np.float32)
+    y = rng_np.integers(0, C, B)
+
+    jax_model = lambda xx, rng: xx[:, 0, :] @ jnp.asarray(W)
+    est = nes_grad(jax_model, cross_entropy, samples_per_draw=S, sigma=sigma)
+    rng = jax.random.PRNGKey(3)
+    mean_loss, grad, adv_loss, adv_score, predict = est(jnp.asarray(x), jnp.asarray(y), rng)
+
+    # our draw: normal(k_noise, (B, S//2, 1, L))
+    k_noise, _ = jax.random.split(rng)
+    z = np.asarray(jax.random.normal(k_noise, (B, S // 2, 1, Lw), dtype=jnp.float32))
+
+    t_model = lambda xx: xx[:, 0, :] @ torch.from_numpy(W.copy())
+    t_loss = torch.nn.CrossEntropyLoss(reduction="none")
+    eot = reot.EOT(t_model, t_loss, EOT_size=1, EOT_batch_size=1, use_grad=False)
+    ref = rnes.NES(samples_per_draw=S, samples_per_draw_batch=S, sigma=sigma, EOT_wrapper=eot)
+    orig_randn = torch.randn
+    torch.randn = lambda *shape, **kw: torch.from_numpy(z.copy())
+    try:
+        with torch.no_grad():
+            w_ml, w_g, w_al, w_as, w_p = ref(torch.from_numpy(x.copy()), torch.from_numpy(y.copy()))
+    finally:
+        torch.randn = orig_randn
+    np.testing.assert_allclose(np.asarray(mean_loss), w_ml.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad), w_g.numpy(), atol=1e-4, rtol=5e-4)
+    np.testing.assert_allclose(np.asarray(adv_loss), w_al.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(adv_score), w_as.numpy(), atol=1e-5)
+    np.testing.assert_array_equal(predict, np.asarray(w_p))
