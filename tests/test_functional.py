@@ -109,3 +109,19 @@ def test_has_pallas_sees_through_checkpoint_scan_and_shard_map(rng_np):
     assert _has_pallas(jax.make_jaxpr(sharded)(x8).jaxpr)
     # and a pallas-free fn stays hoistable
     assert not _has_pallas(jax.make_jaxpr(lambda x: jnp.tanh(x) @ jnp.ones((C, C)))(h).jaxpr)
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    from diffusion_model_for_audio_defense_tpu.core.functional import (
+        enable_compilation_cache,
+    )
+
+    monkeypatch.setenv("DMAD_NO_COMPILE_CACHE", "1")
+    assert enable_compilation_cache() is None
+    monkeypatch.delenv("DMAD_NO_COMPILE_CACHE")
+    monkeypatch.setenv("DMAD_COMPILE_CACHE", str(tmp_path / "cache"))
+    got = enable_compilation_cache()
+    assert got == str(tmp_path / "cache")
+    import os
+
+    assert os.path.isdir(got)
