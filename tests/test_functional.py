@@ -116,12 +116,16 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         enable_compilation_cache,
     )
 
-    monkeypatch.setenv("DMAD_NO_COMPILE_CACHE", "1")
-    assert enable_compilation_cache() is None
-    monkeypatch.delenv("DMAD_NO_COMPILE_CACHE")
-    monkeypatch.setenv("DMAD_COMPILE_CACHE", str(tmp_path / "cache"))
-    got = enable_compilation_cache()
-    assert got == str(tmp_path / "cache")
-    import os
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("DMAD_NO_COMPILE_CACHE", "1")
+        assert enable_compilation_cache() is None
+        monkeypatch.delenv("DMAD_NO_COMPILE_CACHE")
+        monkeypatch.setenv("DMAD_COMPILE_CACHE", str(tmp_path / "cache"))
+        got = enable_compilation_cache()
+        assert got == str(tmp_path / "cache")
+        import os
 
-    assert os.path.isdir(got)
+        assert os.path.isdir(got)
+    finally:  # the tmp dir dies with the test; don't leave jax pointed at it
+        jax.config.update("jax_compilation_cache_dir", old)
