@@ -45,6 +45,11 @@ def build_parser():
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--save_path", type=str, default=None)
+    p.add_argument("--resume", action="store_true", default=False,
+                   help="append to an existing JSONL, skipping already-certified "
+                        "utterances (N=100k runs take hours; a restart should not "
+                        "redo finished work). Noise draws for the remaining "
+                        "utterances are fresh (keys are not replayed)")
     p.add_argument("--gpu", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_examples", type=int, default=None)
@@ -88,11 +93,33 @@ def main(argv=None):
     correct = abstain = total = 0
     out_file = args.save_path or f"certified_sigma{args.sigma}_N{args.num_sampling}.jsonl"
 
-    with open(out_file, "w") as f:
+    done = 0
+    if args.resume and os.path.isfile(out_file):
+        with open(out_file) as f:
+            for line in f:
+                if line.strip():
+                    rec = json.loads(line)
+                    records.append(rec)
+                    done += 1
+                    correct += int(rec["y_pred"] == rec["y_true"] and rec["certified_radius"] > 0)
+                    abstain += int(rec["y_pred"] == -1)
+        total = done
+        print(f"resuming: {done} utterances already certified in {out_file}")
+
+    seen = 0  # dataset position, independent of the record counter
+    with open(out_file, "a" if args.resume else "w") as f:
         for batch in loader:
             x = jnp.asarray(batch["samples"])[:, None, :]
             y = np.asarray(batch["target"])
             rng, k = jax.random.split(rng)
+            if seen + len(y) <= done:  # whole batch already certified
+                seen += len(y)
+                continue
+            if seen < done:  # partial batch (crash mid-flush): finish the tail
+                skip = done - seen
+                x, y = x[skip:], y[skip:]
+                seen = done
+            seen += len(y)
             y_pred, radius = rc.certify(x, sigma=args.sigma, n_0=args.n0, n=args.num_sampling,
                                         alpha=args.alpha, rng=k)
             for i in range(len(y)):

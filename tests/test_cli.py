@@ -171,3 +171,32 @@ def test_kws_driver_with_real_checkpoint(tmp_path):
         "--fused_stage_1",
     ])
     assert "robust" in out and np.isfinite(list(out.values())).all()
+
+
+def test_certified_robustness_resume(corpus, ddpm_config, tmp_path):
+    """--resume skips already-certified utterances and appends: a full run
+    and a crash-interrupted + resumed run produce the same number of records
+    with identical ids."""
+    from diffusion_model_for_audio_defense_tpu.cli.certified_robustness_eval import main
+
+    out = str(tmp_path / "cert.jsonl")
+    base_args = [
+        "--data_path", corpus, "--classifier_model", "m5",
+        "--defense_method", "randsmooth", "--sigma", "0.06",
+        "--num_sampling", "32", "--n0", "16", "--certify_batch_size", "16",
+        "--batch_size", "4", "--num_per_class", "1", "--save_path", out,
+    ]
+    recs_full = main(base_args + ["--max_examples", "8"])
+    n_full = len(recs_full)
+    assert n_full >= 8
+
+    # simulate a crash after 5 records (partial batch), then resume
+    with open(out) as f:
+        lines = [l for l in f if l.strip()]
+    with open(out, "w") as f:
+        f.writelines(lines[:5])
+    recs = main(base_args + ["--resume", "--max_examples", "8"])
+    assert len(recs) == n_full
+    assert [r["id"] for r in recs] == [r["id"] for r in recs_full]
+    # the first 5 records are the preserved originals, bit-identical
+    assert recs[:5] == recs_full[:5]
