@@ -48,8 +48,10 @@ def build_parser():
     p.add_argument("--resume", action="store_true", default=False,
                    help="append to an existing JSONL, skipping already-certified "
                         "utterances (N=100k runs take hours; a restart should not "
-                        "redo finished work). Noise draws for the remaining "
-                        "utterances are fresh (keys are not replayed)")
+                        "redo finished work). The per-batch key stream stays "
+                        "aligned with the original run (same --seed), so the "
+                        "remaining batches draw the keys the original run would "
+                        "have used")
     p.add_argument("--gpu", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_examples", type=int, default=None)
@@ -97,24 +99,37 @@ def main(argv=None):
     if args.resume and os.path.isfile(out_file):
         with open(out_file) as f:
             for line in f:
-                if line.strip():
+                if not line.strip():
+                    continue
+                try:
                     rec = json.loads(line)
-                    records.append(rec)
-                    done += 1
-                    correct += int(rec["y_pred"] == rec["y_true"] and rec["certified_radius"] > 0)
-                    abstain += int(rec["y_pred"] == -1)
+                except json.JSONDecodeError:
+                    # a SIGKILL mid-write leaves a truncated trailing line —
+                    # exactly the crash --resume exists for; redo that record
+                    print("[warn] discarding partially-written trailing record")
+                    break
+                records.append(rec)
+                done += 1
+                correct += int(rec["y_pred"] == rec["y_true"] and rec["certified_radius"] > 0)
+                abstain += int(rec["y_pred"] == -1)
         total = done
+        if args.resume:
+            with open(out_file, "w") as f:  # drop any truncated tail
+                for rec in records:
+                    f.write(json.dumps(rec) + "\n")
         print(f"resuming: {done} utterances already certified in {out_file}")
 
     seen = 0  # dataset position, independent of the record counter
     with open(out_file, "a" if args.resume else "w") as f:
         for batch in loader:
-            x = jnp.asarray(batch["samples"])[:, None, :]
+            if args.max_examples is not None and total >= args.max_examples:
+                break
             y = np.asarray(batch["target"])
-            rng, k = jax.random.split(rng)
+            rng, k = jax.random.split(rng)  # keep the key stream aligned across resumes
             if seen + len(y) <= done:  # whole batch already certified
                 seen += len(y)
                 continue
+            x = jnp.asarray(batch["samples"])[:, None, :]
             if seen < done:  # partial batch (crash mid-flush): finish the tail
                 skip = done - seen
                 x, y = x[skip:], y[skip:]

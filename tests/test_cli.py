@@ -190,13 +190,19 @@ def test_certified_robustness_resume(corpus, ddpm_config, tmp_path):
     n_full = len(recs_full)
     assert n_full >= 8
 
-    # simulate a crash after 5 records (partial batch), then resume
+    # simulate a crash after 5 records (partial batch) PLUS a truncated
+    # partial line (SIGKILL mid-write), then resume
     with open(out) as f:
         lines = [l for l in f if l.strip()]
     with open(out, "w") as f:
         f.writelines(lines[:5])
+        f.write(lines[5][: len(lines[5]) // 2])  # torn record
     recs = main(base_args + ["--resume", "--max_examples", "8"])
     assert len(recs) == n_full
     assert [r["id"] for r in recs] == [r["id"] for r in recs_full]
     # the first 5 records are the preserved originals, bit-identical
     assert recs[:5] == recs_full[:5]
+    # resuming a COMPLETE run certifies nothing further and respects
+    # --max_examples (no extra batch beyond the limit)
+    recs2 = main(base_args + ["--resume", "--max_examples", "8"])
+    assert len(recs2) == n_full

@@ -169,8 +169,6 @@ def test_respacing_oracle(ref):
     use = space_timesteps(T, "ddim10")
     assert use == rs.space_timesteps(T, "ddim10")
     ours = SpacedDiffusion(use_timesteps=use, betas=betas)
-    import enum
-
     gd = importlib.import_module(PKG + ".gaussian_diffusion")
     theirs = rs.SpacedDiffusion(
         use_timesteps=use, betas=betas,

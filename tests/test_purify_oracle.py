@@ -447,12 +447,10 @@ def test_margin_loss_and_decision_oracle(rng_np):
                                          0.5, task, threshold=0.1, clip_max=False))
             np.testing.assert_allclose(got, want, atol=1e-6,
                                        err_msg=f"{task} targeted={targeted}")
-        if task in ("SV", "OSI"):
-            want_d = ru.make_decision(torch.from_numpy(s.copy()), task=task, threshold=0.1)[0].numpy() \
-                if hasattr(ru, "make_decision") else None
-            if want_d is not None:
-                got_d = np.asarray(make_decision(jnp.asarray(s), task, threshold=0.1))
-                np.testing.assert_array_equal(got_d, want_d)
+        # (the reference _utils.py has no make_decision — the SV/OSI decision
+        # protocol exists only as the commented model.make_decision calls in
+        # black_box_attack.py:225,260; ours is behavior-tested in
+        # test_attacks.test_margin_loss_sv_osi_formulas)
 
     # resolve_prediction majority vote vs the reference (ours takes
     # (draws, audios); the reference iterates per-audio rows, so transpose)
