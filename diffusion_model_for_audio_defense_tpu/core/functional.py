@@ -67,8 +67,8 @@ def _has_pallas(jaxpr, _depth=0):
 
 def _convert(fn, *example_args):
     """Trace fn, hoist large array consts; returns (jitted_flat, hoisted,
-    in_tree, out_tree) — or None if the graph contains Pallas kernels
-    (baked consts win there, see ``_has_pallas``)."""
+    in_tree, out_tree). Graphs containing Pallas kernels keep every const
+    baked (see ``_has_pallas``) but still reuse the single trace."""
     import jax.core as jcore
 
     flat_ex, in_tree = jax.tree.flatten(example_args)
@@ -82,7 +82,13 @@ def _convert(fn, *example_args):
 
     closed = jax.make_jaxpr(flat_fn)(*flat_ex)
     if _has_pallas(closed.jaxpr):
-        return None
+        # baked-consts path, but REUSE the jaxpr we already traced (a plain
+        # jax.jit(fn) would trace the whole graph a second time — the
+        # production certify chain costs ~seconds per trace)
+        def run_baked(*flat_args):
+            return jcore.eval_jaxpr(closed.jaxpr, closed.consts, *flat_args)
+
+        return jax.jit(run_baked), (), in_tree, out_store["tree"]
     hoist_ix, hoisted, kept = [], [], []
     for i, c in enumerate(closed.consts):
         if hasattr(c, "shape") and getattr(c, "size", 0) > _HOIST_MIN_SIZE:
@@ -115,16 +121,12 @@ def jit_hoisted(fn):
     """
     cache = {}
 
-    plain = jax.jit(fn)
-
     def wrapped(*args):
         key = _signature(args)
-        entry = cache.get(key, "miss")
-        if entry == "miss":
+        entry = cache.get(key)
+        if entry is None:
             entry = _convert(fn, *args)
             cache[key] = entry
-        if entry is None:  # pallas graph: plain jit with baked consts
-            return plain(*args)
         jitted, hoisted, in_tree, out_tree = entry
         flat_args = jax.tree.leaves(args)
         out_flat = jitted(*flat_args, *hoisted)
