@@ -33,15 +33,22 @@ def unet_timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period: float 
 
 
 def _gn32(x, scale, bias):
-    """GroupNorm(32) computed in float32 (reference GroupNorm32)."""
+    """GroupNorm(32) computed in float32 (reference GroupNorm32).
+
+    Single-pass statistics: μ and E[x²] come out of ONE fused reduce over the
+    (possibly bf16) input, and the normalization re-reads the input instead
+    of a materialized f32 copy. With the two-pass ``.var()`` formulation XLA
+    materialized an f32 reshape of every activation (1.5 GB/fwd at B=256 —
+    and the UNet forward is HBM-roofline-bound, perf/lab15)."""
     g = min(32, x.shape[-1])
     while x.shape[-1] % g:  # production channel counts are all divisible by 32;
         g -= 1  # smaller test configs fall back to the largest divisor
-    xf = x.astype(jnp.float32)
-    grp = xf.reshape(x.shape[:-1] + (g, x.shape[-1] // g))
-    mean = grp.mean(axis=(1, 2, 4), keepdims=True)
-    var = grp.var(axis=(1, 2, 4), keepdims=True)
-    normed = ((grp - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(x.shape)
+    grp = x.reshape(x.shape[:-1] + (g, x.shape[-1] // g))
+    xf = grp.astype(jnp.float32)
+    mean = xf.mean(axis=(1, 2, 4), keepdims=True)
+    meansq = jnp.square(xf).mean(axis=(1, 2, 4), keepdims=True)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    normed = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(x.shape)
     return (normed * scale + bias).astype(x.dtype)
 
 
