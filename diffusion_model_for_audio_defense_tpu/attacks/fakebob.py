@@ -10,12 +10,16 @@ samples simply stop being updated (same iterate sequence for live samples).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
+from ..core.functional import jit_hoisted
 from .losses import make_decision, resolve_loss
-from .nes import nes_grad
+from .nes import _nes_core, nes_grad
 
 
 class FAKEBOB:
@@ -40,6 +44,7 @@ class FAKEBOB:
         batch_size: int = 1,
         verbose: int = 1,
         threshold: float = None,
+        fused_loop: bool = False,
     ):
         self.model_fn = model_fn
         self.task = task
@@ -59,6 +64,7 @@ class FAKEBOB:
         self.stop_early_iter = stop_early_iter
         self.batch_size = batch_size
         self.verbose = verbose
+        self.fused_loop = fused_loop
 
     def estimate_threshold(self, x, step: float = 0.1, decision_fn=None, rng=None):
         """Decision-threshold estimation for SV/OSI tasks
@@ -162,16 +168,113 @@ class FAKEBOB:
         lower = jnp.clip(x - self.epsilon, min=-1.0)
         upper = jnp.clip(x + self.epsilon, max=1.0)
 
+        fused_runner = None
+        if self.fused_loop:
+            fused_runner = self._build_fused_runner(loss_fn, decision)
+
         outs, succs = [], []
         bs = min(self.batch_size, x.shape[0])
         for b0 in range(0, x.shape[0], bs):
             rng, kb = jax.random.split(rng)
-            adv, suc = self._attack_batch(
-                x[b0 : b0 + bs], y[b0 : b0 + bs], lower[b0 : b0 + bs], upper[b0 : b0 + bs], estimator, kb, b0 // bs
-            )
+            if fused_runner is not None:
+                adv, suc = self._attack_batch_fused(
+                    x[b0 : b0 + bs], y[b0 : b0 + bs], lower[b0 : b0 + bs], upper[b0 : b0 + bs], fused_runner, kb
+                )
+            else:
+                adv, suc = self._attack_batch(
+                    x[b0 : b0 + bs], y[b0 : b0 + bs], lower[b0 : b0 + bs], upper[b0 : b0 + bs], estimator, kb, b0 // bs
+                )
             outs.append(adv)
             succs += suc
         return jnp.concatenate(outs, axis=0), succs
+
+    def _build_fused_runner(self, loss_fn, decision_fn):
+        """The whole ``_attack_batch`` iteration loop as ONE ``lax.while_loop``
+        on device — no per-iteration host round-trips (the host loop fetches
+        losses/predictions to numpy every step, ``black_box_attack.py:128-178``
+        equivalent). Exact host-loop parity: identical per-iteration key
+        schedule (``rng, k = split(rng)`` then the NES draw), and the same
+        bookkeeping order — success/best/freeze from this iteration's clean
+        point BEFORE the momentum/plateau/step updates, early-stop every
+        ``stop_early_iter`` iterations against the previous milestone loss.
+        """
+        core = partial(_nes_core, self.model_fn, loss_fn, self.samples_per_draw,
+                       self.sigma, decision_fn)
+        momentum = self.momentum
+        grad_sign = self.grad_sign
+        plateau = self.plateau_length
+        max_iter = self.max_iter
+
+        def run(x, y, lower, upper, rng):
+            bsz = x.shape[0]
+            f32 = jnp.float32
+            state = dict(
+                it=jnp.int32(0),
+                rng=rng,
+                adver_x=x,
+                grad=jnp.zeros_like(x),
+                best_adver_x=x,
+                best_loss=jnp.full((bsz,), jnp.inf, f32),
+                success=jnp.zeros((bsz,), bool),
+                active=jnp.ones((bsz,), bool),
+                # sliding window of the last `plateau` mean losses + a fill
+                # count (reset on plateau trigger), replacing the host's
+                # per-sample python lists
+                win=jnp.zeros((bsz, plateau), f32),
+                cnt=jnp.zeros((bsz,), jnp.int32),
+                lr=jnp.full((bsz,), self.max_lr, f32),
+                prev_loss=jnp.full((bsz,), jnp.inf, f32),
+            )
+
+            def cond(s):
+                return (s["it"] <= max_iter) & jnp.any(s["active"])
+
+            def body(s):
+                it = s["it"]
+                rng, k = jax.random.split(s["rng"])
+                mean_loss, g_raw, adver_loss, _, decisions = core(s["adver_x"], y, k)
+                mean_loss = mean_loss.astype(f32)
+                adver_loss = adver_loss.astype(f32)
+                y_pred = decisions[:, 0]
+                hit = (y_pred == y) if self.targeted else (y_pred != y)
+                active = s["active"]
+                success = s["success"] | (hit & active)
+                better = (adver_loss < s["best_loss"]) & active
+                best_loss = jnp.where(better, adver_loss, s["best_loss"])
+                best_adver_x = jnp.where(better[:, None, None], s["adver_x"], s["best_adver_x"])
+                active = active & ~(adver_loss < 0)  # margin < 0 ⇔ solved; freeze
+
+                # ---- step updates (host: the `it < max_iter` block; running
+                # them when the loop is about to exit is dead state) ----
+                grad = momentum * s["grad"] + (1.0 - momentum) * g_raw
+                win = jnp.where(active[:, None],
+                                jnp.concatenate([s["win"][:, 1:], mean_loss[:, None]], axis=1),
+                                s["win"])
+                cnt = jnp.where(active, jnp.minimum(s["cnt"] + 1, plateau), s["cnt"])
+                trig = active & (cnt == plateau) & (win[:, -1] > win[:, 0])
+                lr = jnp.where(trig, jnp.maximum(s["lr"] / self.plateau_drop, self.min_lr), s["lr"])
+                cnt = jnp.where(trig, 0, cnt)
+                step = grad_sign * lr[:, None, None] * jnp.sign(grad) * active[:, None, None].astype(x.dtype)
+                adver_x = jnp.clip(s["adver_x"] + step, lower, upper)
+
+                es = jnp.bool_(self.stop_early) & (it % self.stop_early_iter == 0)
+                converged = s["prev_loss"] * 0.9999 - mean_loss
+                active = jnp.where(es & (converged < 0), False, active)
+                prev_loss = jnp.where(es, mean_loss, s["prev_loss"])
+
+                return dict(it=it + 1, rng=rng, adver_x=adver_x, grad=grad,
+                            best_adver_x=best_adver_x, best_loss=best_loss,
+                            success=success, active=active, win=win, cnt=cnt,
+                            lr=lr, prev_loss=prev_loss)
+
+            out = lax.while_loop(cond, body, state)
+            return out["best_adver_x"], out["success"]
+
+        return jit_hoisted(run)
+
+    def _attack_batch_fused(self, x, y, lower, upper, runner, rng):
+        best_adver_x, success = runner(x, y, lower, upper, rng)
+        return best_adver_x, [bool(s) for s in np.asarray(success)]
 
     def _attack_batch(self, x, y, lower, upper, estimator, rng, batch_id):
         bsz = x.shape[0]

@@ -242,7 +242,8 @@ def build_attacker(args, system, model_fn=None):
     if args.attack == "FAKEBOB":
         return FAKEBOB(model_fn, task="SCR", targeted=False, verbose=args.verbose,
                        confidence=0.5, epsilon=0.002, max_lr=5e-4, min_lr=1e-4, max_iter=200,
-                       samples_per_draw=200, samples_per_draw_batch_size=200, batch_size=args.batch_size)
+                       samples_per_draw=200, samples_per_draw_batch_size=200, batch_size=args.batch_size,
+                       fused_loop=bool(getattr(args, "fused_loop", False)))
     if args.attack == "SirenAttack":
         return SirenAttack(model_fn, task="SCR", targeted=False, verbose=args.verbose,
                            batch_size=args.batch_size, epsilon=0.002, max_epoch=300, max_iter=30, n_particles=25)

@@ -141,6 +141,41 @@ def test_fakebob_attacks_toy(rng_np):
     assert all(succ)
 
 
+def test_fakebob_fused_loop_matches_host(rng_np):
+    """The on-device lax.while_loop FAKEBOB must replay the host loop exactly:
+    same key schedule, same success flags, same best adversarial examples —
+    including plateau LR decay and the freeze-on-solve mask."""
+    x = jnp.asarray(rng_np.standard_normal((3, 1, L)).astype(np.float32) * 0.02)
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    kw = dict(task="SCR", epsilon=0.01, max_iter=25, max_lr=2e-3,
+              samples_per_draw=32, samples_per_draw_batch_size=32,
+              batch_size=3, verbose=0)
+    for model_fn in (lambda xx, k: toy_model(xx), noisy_model):
+        host = FAKEBOB(model_fn, **kw)
+        fused = FAKEBOB(model_fn, fused_loop=True, **kw)
+        adv_h, suc_h = host.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(7))
+        adv_f, suc_f = fused.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(7))
+        assert suc_h == suc_f
+        np.testing.assert_allclose(np.asarray(adv_h), np.asarray(adv_f), atol=1e-6)
+
+
+def test_fakebob_fused_loop_plateau_and_earlystop(rng_np):
+    """Stress the bookkeeping corners: tiny plateau window + early-stop
+    cadence short enough to fire mid-run must still match the host loop."""
+    x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32) * 0.02)
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    kw = dict(task="SCR", epsilon=0.004, max_iter=40, max_lr=1e-3, min_lr=2e-4,
+              plateau_length=3, plateau_drop=2.0, stop_early=True,
+              stop_early_iter=8, samples_per_draw=16,
+              samples_per_draw_batch_size=16, batch_size=2, verbose=0)
+    host = FAKEBOB(noisy_model, **kw)
+    fused = FAKEBOB(noisy_model, fused_loop=True, **kw)
+    adv_h, suc_h = host.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(3))
+    adv_f, suc_f = fused.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(3))
+    assert suc_h == suc_f
+    np.testing.assert_allclose(np.asarray(adv_h), np.asarray(adv_f), atol=1e-6)
+
+
 def test_siren_attacks_toy(rng_np):
     x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32) * 0.02)
     y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
