@@ -246,5 +246,6 @@ def build_attacker(args, system, model_fn=None):
                        fused_loop=bool(getattr(args, "fused_loop", False)))
     if args.attack == "SirenAttack":
         return SirenAttack(model_fn, task="SCR", targeted=False, verbose=args.verbose,
-                           batch_size=args.batch_size, epsilon=0.002, max_epoch=300, max_iter=30, n_particles=25)
+                           batch_size=args.batch_size, epsilon=0.002, max_epoch=300, max_iter=30, n_particles=25,
+                           fused_loop=bool(getattr(args, "fused_loop", False)))
     raise AttributeError(f"this version does not support '{args.attack}' at present")

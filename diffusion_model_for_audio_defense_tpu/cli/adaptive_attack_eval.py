@@ -52,8 +52,9 @@ def build_parser():
         help="run attack stage 1 as one on-device lax.fori_loop (no "
              "per-iteration host sync); host loop stays the default")
     parser.add_argument("--fused_loop", action="store_true", default=False,
-        help="black-box attacks (FAKEBOB): run the whole NES iteration loop "
-             "as one on-device lax.while_loop; host loop stays the default")
+        help="black-box attacks (FAKEBOB, SirenAttack): run the whole "
+             "iteration loop as one on-device lax.while_loop; host loop "
+             "stays the default")
     parser.add_argument("--bf16", action="store_true", default=False,
         help="bfloat16 compute for the diffusion nets (WaveNet eps-net "
              "and the Diffusion-Spec UNet); params stay f32")

@@ -188,6 +188,38 @@ def test_siren_attacks_toy(rng_np):
     assert sum(succ) >= 1  # PSO on a linear toy should crack at least one
 
 
+def test_siren_fused_loop_matches_host(rng_np):
+    """The on-device nested-while_loop PSO must replay the host loop exactly:
+    same key schedule (epoch reinit + per-iter r1/r2 fold-ins), same gbest
+    bookkeeping, abort-early cadences, and freeze-on-solve mask."""
+    x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32) * 0.02)
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    kw = dict(task="SCR", epsilon=0.02, max_epoch=4, max_iter=12, n_particles=8,
+              abort_early_iter=4, abort_early_epoch=2, batch_size=2, verbose=0)
+    for model_fn in (lambda xx, k: toy_model(xx), noisy_model):
+        host = SirenAttack(model_fn, **kw)
+        fused = SirenAttack(model_fn, fused_loop=True, **kw)
+        adv_h, suc_h = host.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(11))
+        adv_f, suc_f = fused.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(11))
+        assert suc_h == suc_f
+        np.testing.assert_allclose(np.asarray(adv_h), np.asarray(adv_f), atol=1e-6)
+
+
+def test_siren_fused_loop_hard_case_runs_all_epochs(rng_np):
+    """With abort-early off and an unreachable margin (high confidence) both
+    paths must run the full epoch budget and still agree."""
+    x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32) * 0.02)
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    kw = dict(task="SCR", epsilon=1e-4, confidence=50.0, max_epoch=3, max_iter=6,
+              n_particles=4, abort_early=False, batch_size=2, verbose=0)
+    host = SirenAttack(noisy_model, **kw)
+    fused = SirenAttack(noisy_model, fused_loop=True, **kw)
+    adv_h, suc_h = host.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(5))
+    adv_f, suc_f = fused.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(5))
+    assert suc_h == suc_f == [False, False]
+    np.testing.assert_allclose(np.asarray(adv_h), np.asarray(adv_f), atol=1e-6)
+
+
 def test_kenansville_fft(rng_np):
     x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32) * 0.1)
     y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
