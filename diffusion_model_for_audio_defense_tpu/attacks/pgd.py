@@ -84,6 +84,7 @@ class AudioAttack:
         input_is_int16_scale: bool = False,
         verbose: int = 1,
         fused_stage_1: bool = False,
+        fused_stage_2: bool = False,
     ):
         self.model_fn = model_fn
         self.masker = masker
@@ -107,6 +108,7 @@ class AudioAttack:
         self.scale_factor = 1.0 if input_is_int16_scale else 2.0**-15
         self.verbose = verbose
         self.fused_stage_1 = fused_stage_1
+        self.fused_stage_2 = fused_stage_2
         self._fused_cache = {}
         self._targeted = False
 
@@ -141,7 +143,8 @@ class AudioAttack:
         stage_1 = self.stage_1_fused if self.fused_stage_1 else self.stage_1
         x_adv, success_1 = stage_1(x, y, k1)
         if self.max_iter_2 > 0:
-            x_adv, success_2 = self.stage_2(x, x_adv, y, k2)
+            stage_2 = self.stage_2_fused if self.fused_stage_2 else self.stage_2
+            x_adv, success_2 = stage_2(x, x_adv, y, k2)
             return x_adv, (success_1, success_2)
         return x_adv, (success_1, None)
 
@@ -425,3 +428,94 @@ class AudioAttack:
                 x_imp[j] = x_pert_np[j]
                 success[j] = False
         return jnp.asarray(np.stack(x_imp, axis=0)), success
+
+    # ------------------------------------------- stage 2, device-resident
+
+    def stage_2_fused(self, x, x_adv, y, rng):
+        """Device-resident Qin stage 2: the whole imperceptibility loop is ONE
+        compiled ``lax.while_loop`` with on-device best-tracking, per-sample
+        adaptive α, and θ-loss early stop — no per-iteration host round-trips
+        (the host path syncs predictions + θ losses to numpy every iter,
+        reference ``white_box_attack.py:470-604``; max_iter_2 defaults to
+        4000). Masking thresholds stay host-side numpy (clean-input data prep,
+        exactly as the host path). Exact host key-schedule parity: per-iter
+        ``split(rng, 3)``; the record/α steps run at i == max_iter_2 but the
+        gradient update does not, matching the host break placement. Opt in
+        with ``fused_stage_2=True`` / ``--fused_stage_2``.
+        """
+        lr = self.scale_factor * self.learning_rate_2
+        targeted = self._targeted
+        alpha_min = 0.0005
+
+        thresholds, psd_maxima = [], []
+        for xi in np.asarray(x)[:, 0, :]:
+            th, pm = self.masker.calculate_threshold_and_psd_maximum(xi)
+            thresholds.append(th)
+            psd_maxima.append(pm)
+        mt_stab = jnp.asarray(10.0 ** (np.asarray(thresholds) * 0.1), dtype=x.dtype)
+        pm_stab = jnp.asarray(10.0 ** (np.asarray(psd_maxima) * 0.1), dtype=x.dtype)
+
+        def run(x, x_adv0, y, rng, mt_stab, pm_stab, st):
+            bsz = x.shape[0]
+            inf = jnp.full((bsz,), jnp.inf, x.dtype)
+
+            def theta_loss_grad(delta):
+                def f(d):
+                    loss = self._psd_loss(d, mt_stab, pm_stab)
+                    return loss.sum(), loss
+
+                return jax.grad(f, has_aux=True)(delta)
+
+            def cond(s):
+                return (s["i"] <= self.max_iter_2) & ~s["stop"]
+
+            def body(s):
+                i = s["i"]
+                key, k_pred, k_grad = jax.random.split(s["rng"], 3)
+                x_pert = x + s["delta"]
+                pred = self._traced_predict(x_pert, y, k_pred, st)
+                hit = (pred == y) if targeted else (pred != y)
+
+                rec = hit & (s["loss_theta"] < s["loss_theta_prev"])
+                x_imp = jnp.where(rec[:, None, None], x_pert, s["x_imp"])
+                loss_theta_prev = jnp.where(rec, s["loss_theta"], s["loss_theta_prev"])
+                has_best = s["has_best"] | rec
+
+                inc = hit & (i % self.num_iter_increase_alpha == 0) & (i > 0)
+                dec = ~hit & (i % self.num_iter_decrease_alpha == 0) & (i > 0)
+                alpha = jnp.where(inc, s["alpha"] * self.increase_factor_alpha, s["alpha"])
+                alpha = jnp.where(dec, jnp.maximum(alpha * self.decrease_factor_alpha, alpha_min), alpha)
+
+                # gradient section — host runs it only for i < max_iter_2
+                do_upd = i < self.max_iter_2
+                grad_net = self._traced_grad(x_pert, y, k_grad, st)
+                grad_theta, lt = theta_loss_grad(s["delta"])
+                loss_theta = jnp.where(do_upd, lt, s["loss_theta"])
+                combined = grad_net + alpha[:, None, None] * grad_theta
+                new_delta = s["delta"] - lr * combined if targeted else s["delta"] + lr * combined
+                new_delta = jnp.clip(x + new_delta, -1.0, 1.0) - x
+                delta = jnp.where(do_upd, new_delta, s["delta"])
+                early = s["early"] | (do_upd & (loss_theta < self.loss_theta_min))
+                stop = jnp.all(early)
+                return dict(i=i + 1, rng=key, delta=delta, alpha=alpha,
+                            loss_theta=loss_theta, loss_theta_prev=loss_theta_prev,
+                            x_imp=x_imp, has_best=has_best, early=early, stop=stop)
+
+            out = jax.lax.while_loop(cond, body, dict(
+                i=jnp.int32(0), rng=rng, delta=x_adv0 - x,
+                alpha=jnp.full((bsz,), self.alpha, x.dtype),
+                loss_theta=inf, loss_theta_prev=inf,
+                x_imp=jnp.zeros_like(x), has_best=jnp.zeros((bsz,), bool),
+                early=jnp.zeros((bsz,), bool), stop=jnp.bool_(False)))
+            x_final = jnp.where(out["has_best"][:, None, None], out["x_imp"], x + out["delta"])
+            return x_final, out["has_best"]
+
+        cache_key = ("s2", x.shape, str(x.dtype), targeted, self.max_iter_2)
+        if cache_key not in self._fused_cache:
+            self._fused_cache[cache_key] = jit_hoisted(run)
+        x_imp, has_best = self._fused_cache[cache_key](x, x_adv, y, rng, mt_stab, pm_stab, self._mstate)
+        success_np = np.asarray(has_best)
+        if self.verbose:
+            for j in np.nonzero(~success_np)[0]:
+                print(f"Adversarial attack stage 2 for x_{j} was not successful")
+        return x_imp, [bool(s) for s in success_np]

@@ -223,6 +223,7 @@ def build_attacker(args, system, model_fn=None):
             eot_defense_size=args.eot_defense_size,
             verbose=args.verbose,
             fused_stage_1=bool(getattr(args, "fused_stage_1", False)),
+            fused_stage_2=bool(getattr(args, "fused_stage_2", False)),
         )
     if args.attack == "Qin-I":
         return AudioAttack(
@@ -235,6 +236,7 @@ def build_attacker(args, system, model_fn=None):
             learning_rate_1=args.eps / 5,
             verbose=args.verbose,
             fused_stage_1=bool(getattr(args, "fused_stage_1", False)),
+            fused_stage_2=bool(getattr(args, "fused_stage_2", False)),
         )
     if args.attack == "Kenansville":
         return Kenansville(model_fn, atk_name="ssa", max_iter=30, raster_width=100,

@@ -35,6 +35,9 @@ def build_parser():
     p.add_argument("--fused_stage_1", action="store_true", default=False,
         help="run attack stage 1 as one on-device lax.fori_loop (no "
              "per-iteration host sync); host loop stays the default")
+    p.add_argument("--fused_stage_2", action="store_true", default=False,
+        help="run Qin stage 2 as one on-device lax.while_loop (no "
+             "per-iteration host sync); host loop stays the default")
     p.add_argument("--fused_loop", action="store_true", default=False,
         help="black-box attacks (FAKEBOB, SirenAttack): run the whole "
              "iteration loop as one on-device lax.while_loop; host loop "

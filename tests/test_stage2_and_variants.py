@@ -45,6 +45,48 @@ def test_qin_stage2_end_to_end(rng_np):
     assert not np.allclose(np.asarray(x_adv), np.asarray(x))
 
 
+def test_qin_stage2_fused_matches_host(rng_np):
+    """The on-device lax.while_loop stage 2 must replay the host loop: same
+    key schedule, best-recording, adaptive-α cadences, and θ early stop."""
+    t = np.linspace(0, 1, L)
+    tone = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.02 * rng_np.standard_normal(L)
+    x = jnp.asarray(np.stack([tone, -tone])[:, None, :].astype(np.float32))
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    kw = dict(
+        masker=PsychoacousticMasker(), eps=2000.0, norm="linf",
+        max_iter_1=6, max_iter_2=9, learning_rate_1=400.0, learning_rate_2=50.0,
+        num_iter_increase_alpha=3, num_iter_decrease_alpha=4, verbose=0,
+    )
+    for model_fn in (lambda xx, k: toy_model(xx),
+                     lambda xx, k: toy_model(xx + jax.random.normal(k, xx.shape) * 0.01)):
+        host = AudioAttack(model_fn, **kw)
+        fused = AudioAttack(model_fn, fused_stage_2=True, **kw)
+        adv_h, (_, s2_h) = host.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(9))
+        adv_f, (_, s2_f) = fused.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(9))
+        assert s2_h == s2_f
+        np.testing.assert_allclose(np.asarray(adv_h), np.asarray(adv_f), atol=2e-5)
+
+
+def test_qin_stage2_fused_early_stop_parity(rng_np):
+    """loss_theta_min high enough that θ early-stop fires mid-run — both
+    paths must exit identically (the fused path's stop flag placement)."""
+    t = np.linspace(0, 1, L)
+    tone = 0.2 * np.sin(2 * np.pi * 330 * t) + 0.01 * rng_np.standard_normal(L)
+    x = jnp.asarray(np.stack([tone, -tone])[:, None, :].astype(np.float32))
+    y = np.asarray(jnp.argmax(toy_model(x), axis=-1))
+    kw = dict(
+        masker=PsychoacousticMasker(), eps=2000.0, norm="linf",
+        max_iter_1=4, max_iter_2=12, learning_rate_1=400.0, learning_rate_2=20.0,
+        loss_theta_min=1e6, verbose=0,  # huge: early stop fires on iter 1
+    )
+    host = AudioAttack(lambda xx, k: toy_model(xx), **kw)
+    fused = AudioAttack(lambda xx, k: toy_model(xx), fused_stage_2=True, **kw)
+    adv_h, (_, s2_h) = host.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(4))
+    adv_f, (_, s2_f) = fused.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(4))
+    assert s2_h == s2_f
+    np.testing.assert_allclose(np.asarray(adv_h), np.asarray(adv_f), atol=2e-5)
+
+
 def test_rediffwave_purifier(rng_np):
     sched = linear_schedule(200)
     eps_fn = lambda x, t: 0.1 * jnp.tanh(x)
