@@ -48,13 +48,21 @@ def build_parser():
 def load_sc09_spectrogram_data(data_dir, batch_size, n_mels=32, seed=0):
     """Infinite standardized mel-batch generator
     (reference ``sc09_spectrogram_dataset.py:83-99``)."""
-    from ..data import DataLoader, SC09Dataset
+    from ..data import DataLoader, SC09Dataset, native_available, wav_batch_collate
     from ..ops import Wave2Spect
     from ..purify.spec import melspec_standardize
     from ..transforms import Compose, FixAudioLength, LoadAudio
 
-    ds = SC09Dataset(data_dir, transform=Compose([LoadAudio(), FixAudioLength()]), num_per_class=10**9)
-    loader = DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True, seed=seed)
+    if native_available():
+        # C++ thread-pool batch decode, bit-identical to the transform
+        # pipeline (tests/test_native_loader.py)
+        ds = SC09Dataset(data_dir, num_per_class=10**9)
+        collate = wav_batch_collate(16000, 1.0)
+    else:
+        ds = SC09Dataset(data_dir, transform=Compose([LoadAudio(), FixAudioLength()]), num_per_class=10**9)
+        collate = None
+    loader = DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True, seed=seed,
+                        collate_fn=collate)
     w2s = jax.jit(lambda w: melspec_standardize(Wave2Spect(n_mels=n_mels)(w)))
     for epoch in itertools.count():
         loader.set_epoch(epoch)

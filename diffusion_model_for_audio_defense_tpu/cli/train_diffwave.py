@@ -36,8 +36,19 @@ def data_iterator(args, cfg, rng):
     tcfg = cfg["trainset_config"]
     batch_size = cfg["train_config"]["batch_size_per_gpu"] * max(1, len(__import__("jax").devices()))
     if args.dataset == "sc09":
-        ds = SC09Dataset(tcfg["data_path"], transform=Compose([LoadAudio(), FixAudioLength()]), num_per_class=10**9)
-        loader = DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True, seed=args.seed)
+        from ..data import native_available, wav_batch_collate
+
+        if native_available():
+            # C++ thread-pool batch decode (GIL released) — replaces the
+            # reference's 8 DataLoader worker processes; bit-identical to the
+            # LoadAudio+FixAudioLength pipeline (tests/test_native_loader.py)
+            ds = SC09Dataset(tcfg["data_path"], num_per_class=10**9)
+            collate = wav_batch_collate(16000, 1.0)
+        else:
+            ds = SC09Dataset(tcfg["data_path"], transform=Compose([LoadAudio(), FixAudioLength()]), num_per_class=10**9)
+            collate = None
+        loader = DataLoader(ds, batch_size=batch_size, shuffle=True, drop_last=True, seed=args.seed,
+                            collate_fn=collate)
 
         def gen():
             for epoch in itertools.count():

@@ -10,3 +10,4 @@ from .qualcomm_kws_dataset import QUALCOMM_CLASSES, QualcommKeywordSpottingDatas
 from .loader import DataLoader  # noqa: F401
 from .image_datasets import ImageDataset, load_image_data  # noqa: F401
 from .prefetch import prefetch, prefetch_to_device  # noqa: F401
+from .native_loader import batch_read_wavs, native_available, wav_batch_collate  # noqa: F401

@@ -1,0 +1,82 @@
+"""Lab 17: host-loop vs device-resident (fused) Qin stage 2 on TPU.
+
+Companion to lab14 (stage 1): per-iteration cost of ``AudioAttack.stage_2``
+(host sync of predictions + θ losses + numpy bookkeeping every iter,
+mirroring the reference ``white_box_attack.py:470-604``) vs
+``stage_2_fused`` (one ``lax.while_loop``) through the defended system
+(DiffWave DDPM purifier t*=3, Pallas x-only grads + mel + ResNeXt).
+Stage 2 adds the masking-threshold hinge loss + its grad (an STFT of the
+perturbation) on top of the stage-1 work, and the reference default budget
+is max_iter_2=4000 — 4x the stage-1 budget, so per-iter savings matter more.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python perf/lab17_stage2.py
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+
+from diffusion_model_for_audio_defense_tpu.attacks import AudioAttack
+from diffusion_model_for_audio_defense_tpu.attacks.masker import PsychoacousticMasker
+from diffusion_model_for_audio_defense_tpu.core import linear_schedule
+from diffusion_model_for_audio_defense_tpu.models import WaveNet, resnext29_8_64
+from diffusion_model_for_audio_defense_tpu.ops import Wave2Spect
+from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_stack import wavenet_apply_stack
+from diffusion_model_for_audio_defense_tpu.purify import DiffWavePurifier
+from diffusion_model_for_audio_defense_tpu.system import AcousticSystem
+
+ITERS = 30
+
+
+def build_system():
+    wavenet = WaveNet()
+    wn_vars = wavenet.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 16000)), jnp.zeros((1, 1)))
+    clf = resnext29_8_64(num_classes=10)
+    clf_vars = clf.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 32, 32)))
+    eps_fn = lambda x, t: wavenet_apply_stack(
+        wn_vars, x, t[:, None], dtype=jnp.float32, differentiable=True, grad_params=False)
+    purifier = DiffWavePurifier.from_eps_fn(eps_fn, linear_schedule(200), reverse_timestep=3)
+    return AcousticSystem(lambda s: clf.apply(clf_vars, s), Wave2Spect(n_mels=32), purifier, "wave")
+
+
+def main():
+    system = build_system()
+    model_fn = lambda x, rng: system(x, rng, defend=True)
+
+    for B in (4, 16):
+        x = jax.random.normal(jax.random.PRNGKey(2), (B, 1, 16000)) * 0.1
+        y = jnp.zeros((B,), jnp.int32)
+        # stage-2 starting point: a small fixed perturbation (stage 1 output
+        # stand-in; identical for both paths)
+        x_adv = jnp.clip(x + 0.01 * jnp.sign(
+            jax.random.normal(jax.random.PRNGKey(7), x.shape)), -1.0, 1.0)
+        results = {}
+        for fused in (False, True):
+            atk = AudioAttack(model_fn, masker=PsychoacousticMasker(),
+                              eps=2000.0, norm="linf", max_iter_1=0,
+                              max_iter_2=ITERS, learning_rate_2=50.0, verbose=0,
+                              fused_stage_2=fused)
+            atk._targeted = False
+            gen = atk.stage_2_fused if fused else atk.stage_2
+            t0 = time.time()
+            out, succ = gen(x, x_adv, y, jax.random.PRNGKey(3))
+            jax.block_until_ready(out)
+            compile_s = time.time() - t0
+            t0 = time.time()
+            out, succ = gen(x, x_adv, y, jax.random.PRNGKey(3))
+            jax.block_until_ready(out)
+            dt = time.time() - t0
+            tag = "fused" if fused else "host "
+            print(f"B={B:3d} {tag}: {dt/ITERS*1e3:7.1f} ms/iter  "
+                  f"({ITERS/dt:6.2f} it/s, first call {compile_s:.0f}s) "
+                  f"success={int(sum(succ))}/{B}", flush=True)
+            results[fused] = (dt, list(map(bool, succ)))
+        if results[False][1] != results[True][1]:
+            print(f"B={B:3d} NOTE: host/fused success differs "
+                  f"(host={results[False][1]}, fused={results[True][1]})", flush=True)
+        speedup = results[False][0] / results[True][0]
+        print(f"B={B:3d} fused speedup: {speedup:.2f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
