@@ -23,20 +23,29 @@ import time
 import jax
 import jax.numpy as jnp
 
+from diffusion_model_for_audio_defense_tpu.core.functional import jit_hoisted
+
 
 def timed_chain(step, x0, *, k_lo: int = 2, k_hi: int = 18, reps: int = 3,
                 label: str | None = None) -> float:
-    """Seconds per execution of ``step`` (an x → x-shaped device fn).
+    """Seconds per execution of ``step`` (an x → x-structured device fn;
+    x may be a pytree, e.g. a train state chained through its own step).
 
     Chains ``k`` dependent calls in one jit and times a scalar fetch;
     returns the slope between ``k_lo`` and ``k_hi`` chains (min over
     ``reps``), which cancels the ~30 ms axon fetch RTT.
     """
+    def tree_scalar(t):
+        return jax.tree_util.tree_reduce(
+            lambda a, l: a + jnp.sum(l.astype(jnp.float32)), t, jnp.float32(0))
+
     fns = {}
     for k in (k_lo, k_hi):
-        fns[k] = jax.jit(lambda x, k=k: jnp.sum(
-            jax.lax.fori_loop(0, k, lambda i, h: step(h), x)
-            .astype(jnp.float32)))
+        # jit_hoisted (not jax.jit): step's closure-captured params would
+        # otherwise bake into the HLO as literals — big graphs then exceed
+        # the axon remote-compile upload limit (HTTP 413).
+        fns[k] = jit_hoisted(lambda x, k=k: tree_scalar(
+            jax.lax.fori_loop(0, k, lambda i, h: step(h), x)))
         float(fns[k](x0))  # compile + warm
     best = {}
     for k in (k_lo, k_hi):
@@ -60,7 +69,7 @@ def timed_fetch(fn, *args, reps: int = 3) -> float:
     For graphs that can't be chained (shape-changing); subtract a
     calibration ``timed_fetch(lambda: jnp.float32(0))`` if RTT matters.
     """
-    f = jax.jit(lambda *a: jnp.sum(jnp.asarray(fn(*a), jnp.float32)))
+    f = jit_hoisted(lambda *a: jnp.sum(jnp.asarray(fn(*a), jnp.float32)))
     float(f(*args))
     ts = []
     for _ in range(reps):

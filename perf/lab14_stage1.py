@@ -13,6 +13,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from diffusion_model_for_audio_defense_tpu.attacks import AudioAttack
 from diffusion_model_for_audio_defense_tpu.core import linear_schedule
@@ -53,11 +54,11 @@ def main():
             # warm-up/compile
             t0 = time.time()
             out, succ = gen(x, y, jax.random.PRNGKey(3))
-            jax.block_until_ready(out)
+            np.asarray(out)  # real fetch: block_until_ready doesn't sync through axon
             compile_s = time.time() - t0
             t0 = time.time()
             out, succ = gen(x, y, jax.random.PRNGKey(3))
-            jax.block_until_ready(out)
+            np.asarray(out)  # real fetch: block_until_ready doesn't sync through axon
             dt = time.time() - t0
             tag = "fused" if fused else "host "
             print(f"B={B:3d} {tag}: {dt/ITERS*1e3:7.1f} ms/iter  "

@@ -47,7 +47,7 @@ def main():
             for it in range(3):  # first = compile, report best of the rest
                 t0 = time.time()
                 adv, suc = atk.generate(x, y_t, targeted=True, rng=jax.random.PRNGKey(7))
-                jax.block_until_ready(adv)
+                np.asarray(adv)  # real fetch: block_until_ready doesn't sync through axon
                 dt = time.time() - t0
                 if it == 0:
                     compile_s = dt

@@ -15,6 +15,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from diffusion_model_for_audio_defense_tpu.attacks import AudioAttack
 from diffusion_model_for_audio_defense_tpu.attacks.masker import PsychoacousticMasker
@@ -60,11 +61,11 @@ def main():
             gen = atk.stage_2_fused if fused else atk.stage_2
             t0 = time.time()
             out, succ = gen(x, x_adv, y, jax.random.PRNGKey(3))
-            jax.block_until_ready(out)
+            np.asarray(out)  # real fetch: block_until_ready doesn't sync through axon
             compile_s = time.time() - t0
             t0 = time.time()
             out, succ = gen(x, x_adv, y, jax.random.PRNGKey(3))
-            jax.block_until_ready(out)
+            np.asarray(out)  # real fetch: block_until_ready doesn't sync through axon
             dt = time.time() - t0
             tag = "fused" if fused else "host "
             print(f"B={B:3d} {tag}: {dt/ITERS*1e3:7.1f} ms/iter  "
