@@ -26,6 +26,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 REFERENCE_GPU_UTTS_PER_HR = 3.6  # documented estimate, see module docstring
 
@@ -61,12 +62,15 @@ def main():
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 1, 16000)) * 0.1
 
     n_bench = 4096
-    # warmup/compile
-    counts_fn(x, sigma, t_star, abar_star**0.5, n_bench, jax.random.PRNGKey(3)).block_until_ready()
+    # warmup/compile. Sync via a host fetch of the (tiny) counts vector:
+    # through axon's remote PJRT, block_until_ready does NOT wait for device
+    # execution — only an actual transfer does (perf/_timing.py). The ~30 ms
+    # fetch RTT is noise on a ~14 s call.
+    np.asarray(counts_fn(x, sigma, t_star, abar_star**0.5, n_bench, jax.random.PRNGKey(3)))
     t0 = time.perf_counter()
     reps = 3
     for i in range(reps):
-        counts_fn(x, sigma, t_star, abar_star**0.5, n_bench, jax.random.PRNGKey(4 + i)).block_until_ready()
+        np.asarray(counts_fn(x, sigma, t_star, abar_star**0.5, n_bench, jax.random.PRNGKey(4 + i)))
     dt = (time.perf_counter() - t0) / reps
 
     draws_per_sec = n_bench / dt
