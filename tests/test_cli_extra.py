@@ -202,3 +202,43 @@ def test_convert_checkpoint_cli_roundtrip(tmp_path):
     a = np.asarray(model.apply(direct, x))
     b = np.asarray(model.apply(restored, x))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fakebob_eval_cli(corpus):
+    """The gitignored-equivalent wrapper injects --attack FAKEBOB."""
+    from diffusion_model_for_audio_defense_tpu.cli.fakebob_eval import main
+
+    out = main([
+        "--data_path", corpus, "--classifier_model", "m5", "--defense", "None",
+        "--max_iter_1", "1", "--num_per_class", "1", "--batch_size", "2",
+        "--max_batches", "1", "--verbose", "0",
+    ])
+    assert out["total"] == 2
+    assert 0.0 <= out["robust_acc"] <= 1.0
+
+
+def test_parallel_certified_robustness_eval_cli(corpus, tmp_path):
+    """σ-sweep wrapper: one certify run per sigma, results keyed by σ."""
+    import json
+
+    from diffusion_model_for_audio_defense_tpu.cli.parallel_certified_robustness_eval import main
+
+    cfg = {
+        "diffusion_config": {"T": 20, "beta_0": 1e-4, "beta_T": 0.02},
+        "wavenet_config": {
+            "in_channels": 1, "res_channels": 8, "skip_channels": 8, "out_channels": 1,
+            "num_res_layers": 2, "dilation_cycle": 2, "diffusion_step_embed_dim_in": 8,
+            "diffusion_step_embed_dim_mid": 16, "diffusion_step_embed_dim_out": 16,
+        },
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    results = main([
+        "--sigmas", "0.25,0.5",
+        "--data_path", corpus, "--classifier_model", "m5", "--defense_method", "diffusion",
+        "--ddpm_config", str(cfg_path), "--num_sampling", "64", "--n0", "16",
+        "--certify_batch_size", "16", "--num_per_class", "1", "--batch_size", "2",
+        "--max_examples", "1",
+    ])
+    assert set(results) == {0.25, 0.5}
+    assert all(len(v) >= 1 for v in results.values())
