@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import argparse
 
-from .certified_robustness_eval import build_parser as _base_parser, main as _certify_main
+from .certified_robustness_eval import main as _certify_main
 
 
 def main(argv=None):

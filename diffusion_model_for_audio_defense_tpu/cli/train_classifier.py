@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 
 import jax.numpy as jnp
-import numpy as np
 
 
 def build_parser():
@@ -44,7 +43,6 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    import jax
 
     from ..data import DataLoader, SC09Dataset, SpeechCommandsDataset
     from ..models import create_model

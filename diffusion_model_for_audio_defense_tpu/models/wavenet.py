@@ -311,8 +311,6 @@ def wavenet_apply_pallas(
     in-model, so this stays an optional path for kernel iteration
     (see ops/pallas/wavenet_block.py).
     """
-    from ..ops.pallas.wavenet_block import fused_residual_block
-
     p = variables["params"]
     if diffusion_steps.ndim == 1:
         diffusion_steps = diffusion_steps[:, None]

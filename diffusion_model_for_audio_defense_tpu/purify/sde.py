@@ -23,8 +23,6 @@ Math parity (reference ``RevVPSDE``, ``diffwave_sde.py:34-133``):
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import numpy as np
