@@ -6,11 +6,15 @@ model mistranscribes, binary-searching the attack factor.
 
 - ``fft`` variant (batched): zero rFFT bins with magnitude below the factor;
   per-sample binary search between 0 and max|FFT| (``_KenanFFT.py:180-246``).
-  Fully on-device: one jitted compress+classify per iteration.
+  Fully on-device: one jitted compress+classify per iteration — or, with
+  ``fused_loop=True``, the WHOLE binary search as one ``lax.fori_loop`` with
+  on-device lo/hi/best bookkeeping (exact host key-schedule parity; saves
+  the ~max_iter host round-trips like the fused FAKEBOB/SirenAttack loops).
 - ``ssa`` variant (batch 1): SVD of the Hankel trajectory matrix (host
   numpy, computed once and recycled), keep the top-k components, binary
   search over the kept-percentage with the reference's integer-factor
-  convergence early-exit.
+  convergence early-exit. Stays host-side: the SVD has no TPU placement
+  and the early-exit is data-dependent on an integer host value.
 """
 
 from __future__ import annotations
@@ -43,6 +47,7 @@ class Kenansville:
         batch_size: int = 1,
         bits: int = 16,
         verbose: int = 1,
+        fused_loop: bool = False,
     ):
         self.model_fn = model_fn
         self.atk_name = atk_name
@@ -52,6 +57,7 @@ class Kenansville:
         self.targeted = targeted
         self.bits = bits
         self.verbose = verbose
+        self.fused_loop = fused_loop
         self.batch_size = 1 if atk_name == "ssa" else batch_size
 
         def _compress_predict(x, factor, rng):
@@ -61,6 +67,7 @@ class Kenansville:
 
         self._fft_step = jit_hoisted(_compress_predict)
         self._predict = jit_hoisted(lambda x, rng: jnp.argmax(self.model_fn(x, rng), axis=-1))
+        self._fused_fft = None  # built lazily (jit per targeted flag)
 
     def generate(self, x, y, targeted: bool = False, rng=None, fs: int = 16_000):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -74,7 +81,10 @@ class Kenansville:
             rng, kb = jax.random.split(rng)
             xb, yb = x[b0 : b0 + bs], y_np[b0 : b0 + bs]
             if self.atk_name == "fft":
-                adv, suc = self._attack_fft(xb, yb, kb)
+                if self.fused_loop:
+                    adv, suc = self._attack_fft_fused(xb, jnp.asarray(y)[b0 : b0 + bs], kb)
+                else:
+                    adv, suc = self._attack_fft(xb, yb, kb)
             elif self.atk_name == "ssa":
                 adv, suc = self._attack_ssa(xb, yb, kb)
             else:
@@ -110,6 +120,43 @@ class Kenansville:
                     lo[p] = factor[p]
                 factor[p] = abs(lo[p] + hi[p]) / 2.0
         return adv_best, success
+
+    def _attack_fft_fused(self, x, y, rng):
+        """Whole fft binary search as one ``lax.fori_loop`` (device-resident).
+
+        Same math and key schedule as ``_attack_fft``: per-iteration
+        ``rng, k = split(rng)``, hit ⇒ record adv + shrink ``hi``, miss ⇒
+        raise ``lo``, next ``factor = |lo+hi|/2`` — so fixed seeds reproduce
+        the host loop bitwise-close (f32 on-device bookkeeping vs the host's
+        f64 midpoints is the only divergence source, as in stage 1/2).
+        """
+        targeted = self.targeted
+        if self._fused_fft is None or self._fused_fft[0] != targeted:
+
+            def run(x, y, rng):
+                hi0 = jnp.max(jnp.abs(jnp.fft.fft(x, axis=2)), axis=2).reshape(x.shape[0])
+                hi0 = hi0.astype(x.dtype)
+
+                def body(_, s):
+                    key, k = jax.random.split(s["rng"])
+                    adv = fft_compression(x, s["factor"])
+                    pred = jnp.argmax(self.model_fn(adv, k), axis=-1)
+                    hit = (y == pred) if targeted else (y != pred)
+                    adv_best = jnp.where(hit[:, None, None], adv, s["adv_best"])
+                    hi = jnp.where(hit, s["factor"], s["hi"])
+                    lo = jnp.where(hit, s["lo"], s["factor"])
+                    return dict(rng=key, lo=lo, hi=hi,
+                                factor=jnp.abs(lo + hi) / 2.0,
+                                adv_best=adv_best, success=s["success"] | hit)
+
+                s0 = dict(rng=rng, lo=jnp.zeros_like(hi0), hi=hi0, factor=hi0 / 2.0,
+                          adv_best=x, success=jnp.zeros(x.shape[0], bool))
+                out = jax.lax.fori_loop(0, self.max_iter, body, s0)
+                return out["adv_best"], out["success"]
+
+            self._fused_fft = (targeted, jit_hoisted(run))
+        adv_best, success = self._fused_fft[1](x, y, rng)
+        return adv_best, [bool(s) for s in np.asarray(success)]
 
     def _attack_ssa(self, x, y_np, rng):
         assert x.shape[0] == 1, "ssa variant attacks one utterance at a time"

@@ -239,8 +239,12 @@ def build_attacker(args, system, model_fn=None):
             fused_stage_2=bool(getattr(args, "fused_stage_2", False)),
         )
     if args.attack == "Kenansville":
-        return Kenansville(model_fn, atk_name="ssa", max_iter=30, raster_width=100,
-                           verbose=args.verbose, batch_size=args.batch_size)
+        # ssa is the reference eval default (adaptive_attack_eval.py:219-224);
+        # fused_loop only applies to the fft variant (ssa is host-SVD-bound)
+        return Kenansville(model_fn, atk_name=getattr(args, "kenan_variant", "ssa"),
+                           max_iter=30, raster_width=100,
+                           verbose=args.verbose, batch_size=args.batch_size,
+                           fused_loop=bool(getattr(args, "fused_loop", False)))
     if args.attack == "FAKEBOB":
         return FAKEBOB(model_fn, task="SCR", targeted=False, verbose=args.verbose,
                        confidence=0.5, epsilon=0.002, max_lr=5e-4, min_lr=1e-4, max_iter=200,

@@ -63,6 +63,9 @@ def build_parser():
              "and the Diffusion-Spec UNet); params stay f32")
     # attack arguments (reference :38-47)
     parser.add_argument("--attack", type=str, choices=["CW", "Qin-I", "Kenansville", "FAKEBOB", "SirenAttack"], default="CW")
+    parser.add_argument("--kenan_variant", type=str, choices=["ssa", "fft"], default="ssa",
+        help="Kenansville variant (reference eval uses ssa; fft is batched "
+             "and supports --fused_loop)")
     parser.add_argument("--defense", type=str,
                         choices=["Diffusion", "Diffusion-Spec", "AS", "MS", "DS", "LPF", "BPF", "FeCo", "None"],
                         default="None")

@@ -437,3 +437,29 @@ def test_fused_stage1_matches_host_with_eot_stochastic(rng_np):
     xa_f, (s_f, _) = fused.generate(x, jnp.asarray(y), targeted=False, rng=jax.random.PRNGKey(4))
     assert list(s_h) == list(s_f)
     np.testing.assert_allclose(np.asarray(xa_f), np.asarray(xa_h), atol=2e-6)
+
+
+def test_kenansville_fft_fused_matches_host(rng_np):
+    """fused_loop=True: whole binary search on device, exact host parity."""
+    x = jnp.asarray(rng_np.standard_normal((3, 1, L)).astype(np.float32) * 0.1)
+    y = jnp.argmax(toy_model(x), axis=-1)
+    kw = dict(atk_name="fft", max_iter=8, batch_size=3, verbose=0)
+    host = Kenansville(lambda xx, k: toy_model(xx), **kw)
+    fused = Kenansville(lambda xx, k: toy_model(xx), fused_loop=True, **kw)
+    adv_h, suc_h = host.generate(x, y, targeted=False, rng=jax.random.PRNGKey(3))
+    adv_f, suc_f = fused.generate(x, y, targeted=False, rng=jax.random.PRNGKey(3))
+    assert suc_h == suc_f
+    np.testing.assert_allclose(np.asarray(adv_h), np.asarray(adv_f), atol=1e-5)
+
+
+def test_kenansville_fft_fused_targeted_and_multibatch(rng_np):
+    """Targeted hit condition + the per-batch key split both match the host."""
+    x = jnp.asarray(rng_np.standard_normal((4, 1, L)).astype(np.float32) * 0.1)
+    y_tgt = (jnp.argmax(toy_model(x), axis=-1) + 1) % NCLS
+    kw = dict(atk_name="fft", max_iter=6, batch_size=2, verbose=0)  # 2 batches of 2
+    host = Kenansville(lambda xx, k: toy_model(xx), **kw)
+    fused = Kenansville(lambda xx, k: toy_model(xx), fused_loop=True, **kw)
+    adv_h, suc_h = host.generate(x, y_tgt, targeted=True, rng=jax.random.PRNGKey(9))
+    adv_f, suc_f = fused.generate(x, y_tgt, targeted=True, rng=jax.random.PRNGKey(9))
+    assert suc_h == suc_f
+    np.testing.assert_allclose(np.asarray(adv_h), np.asarray(adv_f), atol=1e-5)
