@@ -440,16 +440,18 @@ def test_fused_stage1_matches_host_with_eot_stochastic(rng_np):
 
 
 def test_kenansville_fft_fused_matches_host(rng_np):
-    """fused_loop=True: whole binary search on device, exact host parity."""
+    """fused_loop=True: whole binary search on device, exact host parity —
+    deterministic AND stochastic (keyed) models share the key schedule."""
     x = jnp.asarray(rng_np.standard_normal((3, 1, L)).astype(np.float32) * 0.1)
     y = jnp.argmax(toy_model(x), axis=-1)
     kw = dict(atk_name="fft", max_iter=8, batch_size=3, verbose=0)
-    host = Kenansville(lambda xx, k: toy_model(xx), **kw)
-    fused = Kenansville(lambda xx, k: toy_model(xx), fused_loop=True, **kw)
-    adv_h, suc_h = host.generate(x, y, targeted=False, rng=jax.random.PRNGKey(3))
-    adv_f, suc_f = fused.generate(x, y, targeted=False, rng=jax.random.PRNGKey(3))
-    assert suc_h == suc_f
-    np.testing.assert_allclose(np.asarray(adv_h), np.asarray(adv_f), atol=1e-5)
+    for model_fn in (lambda xx, k: toy_model(xx), noisy_model):
+        host = Kenansville(model_fn, **kw)
+        fused = Kenansville(model_fn, fused_loop=True, **kw)
+        adv_h, suc_h = host.generate(x, y, targeted=False, rng=jax.random.PRNGKey(3))
+        adv_f, suc_f = fused.generate(x, y, targeted=False, rng=jax.random.PRNGKey(3))
+        assert suc_h == suc_f
+        np.testing.assert_allclose(np.asarray(adv_h), np.asarray(adv_f), atol=1e-5)
 
 
 def test_kenansville_fft_fused_targeted_and_multibatch(rng_np):
