@@ -87,5 +87,62 @@ def main():
     )
 
 
+def _supervise() -> int:
+    """Run the bench body in fresh subprocesses with retry + backoff.
+
+    Round 3's BENCH died rc=1 at axon backend init (`UNAVAILABLE`) with no
+    retry — but a stale-client wedge is transient by nature: a fresh process
+    typically succeeds once it clears. The supervisor process NEVER touches
+    the backend itself; each attempt is a new interpreter (new axon client),
+    output streams through live (no capture buffering), and a watchdog
+    bounds every attempt. On final failure it still prints a diagnostic
+    JSON line so the driver always records *something* (the reference's
+    only perf harness, DiffWave_Unconditional/inference.py:69-80, always
+    produced a number; so must we).
+    """
+    import os
+    import subprocess
+    import sys
+
+    attempts = int(os.environ.get("DMAD_BENCH_ATTEMPTS", "3"))
+    watchdog = int(os.environ.get("DMAD_BENCH_TIMEOUT", "2400"))
+    backoffs = [30, 90, 180]
+    env = dict(os.environ)
+    env["_DMAD_BENCH_CHILD"] = "1"
+    rc = -1
+    for i in range(attempts):
+        if i:
+            delay = backoffs[min(i - 1, len(backoffs) - 1)]
+            print(f"bench: attempt {i} failed rc={rc}; retrying in {delay}s "
+                  f"(fresh axon client)", file=sys.stderr, flush=True)
+            time.sleep(delay)
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, timeout=watchdog,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            print(f"bench: attempt {i + 1} exceeded watchdog ({watchdog}s)",
+                  file=sys.stderr, flush=True)
+            rc = 124
+        if rc == 0:
+            return 0
+    print(json.dumps({
+        "metric": "certified_utts_per_hr_N100k",
+        "value": None,
+        "unit": "utt/hr",
+        "vs_baseline": None,
+        "error": f"all {attempts} attempts failed, last rc={rc} "
+                 "(see stderr for tracebacks)",
+    }), flush=True)
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    import os
+    import sys
+
+    if os.environ.get("_DMAD_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_supervise())
