@@ -591,9 +591,18 @@ def load_pytree(path: str, target=None):
     node types) to restore into — required to round-trip optax optimizer
     states, whose namedtuple nodes would otherwise come back as plain dicts.
     """
+    import warnings
+
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    if target is None:
-        return ckptr.restore(os.path.abspath(path))
-    return ckptr.restore(os.path.abspath(path), item=target)
+    with warnings.catch_warnings():
+        # restoring without per-leaf sharding specs is deliberate: checkpoints
+        # move between the CPU test mesh and the TPU, so orbax reading the
+        # sharding file (its informational UserWarning) is the wanted path
+        warnings.filterwarnings(
+            "ignore", message="Sharding info not provided when restoring"
+        )
+        if target is None:
+            return ckptr.restore(os.path.abspath(path))
+        return ckptr.restore(os.path.abspath(path), item=target)

@@ -93,16 +93,22 @@ class GaussianDiffusion:
         acp = np.cumprod(alphas)
         acp_prev = np.append(1.0, acp[:-1])
         acp_next = np.append(acp[1:], 0.0)
-        d = {
-            "alphas_cumprod": acp,
-            "alphas_cumprod_prev": acp_prev,
-            "alphas_cumprod_next": acp_next,
-            "sqrt_alphas_cumprod": np.sqrt(acp),
-            "sqrt_one_minus_alphas_cumprod": np.sqrt(1.0 - acp),
-            "log_one_minus_alphas_cumprod": np.log(1.0 - acp),
-            "sqrt_recip_alphas_cumprod": np.sqrt(1.0 / acp),
-            "sqrt_recipm1_alphas_cumprod": np.sqrt(1.0 / acp - 1.0),
-        }
+        # acp can underflow to exactly 0 at the last steps of short rescaled
+        # schedules (β_t → 1); the reciprocal coefficients are then inf, which
+        # matches the reference float64 arithmetic (gaussian_diffusion.py:
+        # sqrt_recip_alphas_cumprod) — those rows are only gathered at t where
+        # acp > 0 in every sampling path, so silence the expected divide.
+        with np.errstate(divide="ignore"):
+            d = {
+                "alphas_cumprod": acp,
+                "alphas_cumprod_prev": acp_prev,
+                "alphas_cumprod_next": acp_next,
+                "sqrt_alphas_cumprod": np.sqrt(acp),
+                "sqrt_one_minus_alphas_cumprod": np.sqrt(1.0 - acp),
+                "log_one_minus_alphas_cumprod": np.log(1.0 - acp),
+                "sqrt_recip_alphas_cumprod": np.sqrt(1.0 / acp),
+                "sqrt_recipm1_alphas_cumprod": np.sqrt(1.0 / acp - 1.0),
+            }
         post_var = betas * (1.0 - acp_prev) / (1.0 - acp)
         d["posterior_variance"] = post_var
         d["posterior_log_variance_clipped"] = np.log(np.append(post_var[1], post_var[1:]))

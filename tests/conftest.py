@@ -26,3 +26,24 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng_np():
     return np.random.default_rng(0)
+
+
+def train_wrapper(model, diffusion):
+    """Train-capable duck-typed model wrapper for TrainLoop tests.
+
+    Exposes the explicit ``train``/``rngs`` kwargs TrainLoop introspects for,
+    so the suite's own call sites run warning-clean (dropout capability on);
+    the deliberately train-less "legacy" wrapper in test_train.py asserts the
+    warning instead.
+    """
+
+    class _W:
+        def init(self, k, x, t):
+            return model.init(k, x, t)
+
+        def apply(self, p, x, t, train=False, rngs=None):
+            return diffusion.wrap_model(
+                lambda xx, tt: model.apply(p, xx, tt, train=train, rngs=rngs)
+            )(x, t)
+
+    return _W()

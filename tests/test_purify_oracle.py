@@ -85,7 +85,9 @@ class _InjectedNoise:
             assert self.queue, "reference drew more noise than injected"
             z = self.queue.pop(0)
             assert tuple(size) == z.shape, (tuple(size), z.shape)
-            return torch.from_numpy(z)
+            # .copy(): jax device arrays export as non-writable numpy views,
+            # which torch.from_numpy warns about (and could alias)
+            return torch.from_numpy(np.array(z, copy=True))
 
         torch.normal = fake_normal
         torch.Tensor.cuda = lambda t, *a, **k: t

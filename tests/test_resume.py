@@ -79,12 +79,11 @@ def test_diffwave_trainer_params_only_ckpt_back_compat(tmp_path, rng_np):
 def test_trainloop_resume_equivalence(tmp_path, rng_np):
     from diffusion_model_for_audio_defense_tpu.models.unet import create_unet
 
+    from conftest import train_wrapper
+
     model = create_unet(num_channels=16, num_res_blocks=1, dropout=0.0)
     d = create_gaussian_diffusion(steps=20)
-    wrapped = type("M", (), {
-        "init": lambda self, k, x, t: model.init(k, x, t),
-        "apply": lambda self, p, x, t: d.wrap_model(lambda xx, tt: model.apply(p, xx, tt))(x, t),
-    })()
+    wrapped = train_wrapper(model, d)
     # single repeated batch: the init-time probe consumes one draw, so a
     # multi-batch cycle would desync the resumed run's data stream
     batch = np.asarray(rng_np.standard_normal((2, 1, 32, 32)), np.float32)
@@ -125,12 +124,11 @@ def test_trainloop_explicit_resume_step(tmp_path, rng_np):
     from diffusion_model_for_audio_defense_tpu.train import TrainLoop
     from diffusion_model_for_audio_defense_tpu.train import logger as tlog
 
+    from conftest import train_wrapper
+
     model = create_unet(num_channels=16, num_res_blocks=1, dropout=0.0)
     d = create_gaussian_diffusion(steps=20)
-    wrapped = type("M", (), {
-        "init": lambda self, k, x, t: model.init(k, x, t),
-        "apply": lambda self, p, x, t: d.wrap_model(lambda xx, tt: model.apply(p, xx, tt))(x, t),
-    })()
+    wrapped = train_wrapper(model, d)
     data = itertools.cycle([np.asarray(rng_np.standard_normal((2, 1, 32, 32)), np.float32)])
     tlog.configure(str(tmp_path), ["csv"])
     params = wrapped.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 32, 32)), jnp.zeros((1,), jnp.int32))
