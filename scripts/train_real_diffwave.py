@@ -7,14 +7,18 @@ produces the first end-to-end "defense actually defends" artifact:
 
   stage data        synthesize the SC09-layout test set (data/synth_speech.py)
   stage classifier  train M5 (raw-waveform CNN) on the synthetic stream
-  stage diffwave    train the PRODUCTION-config WaveNet (256ch/36L, the same
-                    model bench.py certifies) with DiffWaveTrainer
-                    (use_pallas=True — the fused Pallas stack fwd+bwd)
+  stage diffwave    train a WaveNet ε-net with DiffWaveTrainer (the Pallas
+                    fused train step when on TPU with a %128-channel config)
   stage eval        (a) denoise sanity: acc(clean) / acc(noisy) / acc(denoised)
                     (b) cli/adaptive_attack_eval.py CW, defended vs undefended
                     (c) cli/certified_robustness_eval.py σ=0.25, diffusion vs
                         plain randsmooth
   → artifacts/real_diffwave/summary.json + checkpoints + loss curve
+
+Model size is configurable so the same pipeline runs as the production
+256ch/36L TPU artifact or a reduced CPU-feasible config (``--preset``):
+the reduced WaveNet goes through the identical CLI seams via a generated
+reference-format config.json (``--ddpm_config``).
 
 Run on the TPU (one axon client at a time):
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/train_real_diffwave.py --stage all
@@ -35,29 +39,96 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-OUT = os.path.join(REPO, "artifacts", "real_diffwave")
-TEST_DIR = os.path.join(OUT, "synth_sc09_test")
-CLF_DIR = os.path.join(OUT, "classifier")
-CLF_CKPT = os.path.join(CLF_DIR, "m5_synth-best-acc")
-CLF_EVAL = os.path.join(OUT, "m5_synth_eval")
-DW_DIR = os.path.join(OUT, "diffwave_ckpts")
-DW_FINAL = os.path.join(OUT, "diffwave_final")
+
+PRESETS = {
+    # production: the exact model bench.py certifies (256ch/36L bf16)
+    "prod": dict(res_channels=256, num_res_layers=36, dilation_cycle=12,
+                 dtype="bf16", diffwave_iters=20000, batch=16,
+                 clf_epochs=25, attack_iters=30, certify_n=2000,
+                 certify_batch=128, num_per_class=5, out="real_diffwave"),
+    # single-host-core-feasible reduction (measured ~6-12 s/step at this
+    # size; nproc=1 here) — a hedge artifact for when the TPU tunnel is
+    # down; same four-stage recipe end to end
+    "cpu": dict(res_channels=32, num_res_layers=8, dilation_cycle=4,
+                dtype="f32", diffwave_iters=600, batch=8,
+                clf_epochs=12, attack_iters=15, certify_n=300,
+                certify_batch=64, num_per_class=3, out="real_diffwave_cpu"),
+    # minutes-scale end-to-end pipeline validation (artifact is meaningless)
+    "smoke": dict(res_channels=32, num_res_layers=4, dilation_cycle=2,
+                  dtype="f32", diffwave_iters=30, batch=4,
+                  clf_epochs=2, attack_iters=2, certify_n=64,
+                  certify_batch=32, num_per_class=1, out="real_diffwave_smoke"),
+}
 
 
-def stage_data():
+class Paths:
+    def __init__(self, out_name: str):
+        self.OUT = os.path.join(REPO, "artifacts", out_name)
+        self.TEST_DIR = os.path.join(REPO, "artifacts", "real_diffwave", "synth_sc09_test")
+        self.CLF_DIR = os.path.join(self.OUT, "classifier")
+        self.CLF_CKPT = os.path.join(self.CLF_DIR, "m5_synth-best-acc")
+        self.CLF_EVAL = os.path.join(self.OUT, "m5_synth_eval")
+        self.DW_DIR = os.path.join(self.OUT, "diffwave_ckpts")
+        self.DW_FINAL = os.path.join(self.OUT, "diffwave_final")
+        self.CONFIG = os.path.join(self.OUT, "config.json")
+
+
+def _dtype(cfg):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if cfg["dtype"] == "bf16" else None
+
+
+def _build_wavenet(cfg):
+    from diffusion_model_for_audio_defense_tpu.models import WaveNet
+
+    return WaveNet(res_channels=cfg["res_channels"], skip_channels=cfg["res_channels"],
+                   num_res_layers=cfg["num_res_layers"], dilation_cycle=cfg["dilation_cycle"],
+                   dtype=_dtype(cfg))
+
+
+def _pallas_ok(cfg) -> bool:
+    import jax
+
+    return jax.default_backend() != "cpu" and cfg["res_channels"] % 128 == 0
+
+
+def _write_config(cfg, P: Paths):
+    """Reference-format config.json (DiffWave_Unconditional/config.json keys)
+    so the eval CLIs (--ddpm_config) build the identical reduced WaveNet."""
+    ref = {
+        "wavenet_config": {
+            "in_channels": 1, "out_channels": 1,
+            "res_channels": cfg["res_channels"], "skip_channels": cfg["res_channels"],
+            "num_res_layers": cfg["num_res_layers"], "dilation_cycle": cfg["dilation_cycle"],
+            "diffusion_step_embed_dim_in": 128, "diffusion_step_embed_dim_mid": 512,
+            "diffusion_step_embed_dim_out": 512,
+        },
+        "diffusion_config": {"T": 200, "beta_0": 1e-4, "beta_T": 0.02},
+    }
+    os.makedirs(P.OUT, exist_ok=True)
+    with open(P.CONFIG, "w") as f:
+        json.dump(ref, f, indent=2)
+    return P.CONFIG
+
+
+def stage_data(P: Paths):
     from diffusion_model_for_audio_defense_tpu.data.synth_speech import write_dataset
 
-    write_dataset(TEST_DIR, n_per_class=10, seed=1234)
-    print("test set ->", TEST_DIR)
+    if not os.path.isdir(P.TEST_DIR):
+        write_dataset(P.TEST_DIR, n_per_class=10, seed=1234)
+    print("test set ->", P.TEST_DIR)
 
 
-def stage_classifier(epochs: int = 25, batches_per_epoch: int = 20, batch: int = 64):
+def stage_classifier(cfg, P: Paths, batches_per_epoch: int = 20, batch: int = 64):
     import jax.numpy as jnp
 
     from diffusion_model_for_audio_defense_tpu.data.synth_speech import labeled_batch
     from diffusion_model_for_audio_defense_tpu.models import create_model
     from diffusion_model_for_audio_defense_tpu.train import ClassifierTrainer
     from diffusion_model_for_audio_defense_tpu.train import logger as tlog
+
+    epochs = cfg["clf_epochs"]
 
     class StreamLoader:
         """Fresh synthetic batches every epoch (infinite data ⇒ no overfit)."""
@@ -75,10 +146,10 @@ def stage_classifier(epochs: int = 25, batches_per_epoch: int = 20, batch: int =
                 x, y = labeled_batch(rng, batch)
                 yield {"samples": x[:, 0, :], "target": y}
 
-    tlog.configure(CLF_DIR, ["csv", "human"])
+    tlog.configure(P.CLF_DIR, ["csv", "stdout"])
     model = create_model("m5", num_classes=10, in_channels=1)
     tr = ClassifierTrainer(model, transform=None, mode="vanilla", lr=0.02,
-                           sample_input=jnp.zeros((1, 1, 16000)), save_dir=CLF_DIR)
+                           sample_input=jnp.zeros((1, 1, 16000)), save_dir=P.CLF_DIR)
     val = StreamLoader(seed=999)
     for epoch in range(epochs):
         loss, acc = tr.train_epoch(StreamLoader(seed=7), epoch)
@@ -87,8 +158,9 @@ def stage_classifier(epochs: int = 25, batches_per_epoch: int = 20, batch: int =
         tlog.logkv("valid_acc", vacc)
         tlog.dumpkvs()
         tr.maybe_checkpoint(vloss, vacc, "m5_synth")
-    print(f"classifier: best valid acc {tr.best_acc:.4f} -> {CLF_CKPT}")
-    assert tr.best_acc > 0.9, "classifier failed to learn the synthetic task"
+    print(f"classifier: best valid acc {tr.best_acc:.4f} -> {P.CLF_CKPT}")
+    if cfg["out"] != PRESETS["smoke"]["out"]:
+        assert tr.best_acc > 0.9, "classifier failed to learn the synthetic task"
     # params+stats-only export for the CLIs (the best-acc ckpt carries the
     # optimizer state too)
     from diffusion_model_for_audio_defense_tpu.core.checkpoint import (
@@ -96,66 +168,74 @@ def stage_classifier(epochs: int = 25, batches_per_epoch: int = 20, batch: int =
         save_pytree,
     )
 
-    best = load_pytree(CLF_CKPT)
-    save_pytree(CLF_EVAL, {"params": best["params"], "batch_stats": best["batch_stats"]})
-    print("eval classifier ->", CLF_EVAL)
+    best = load_pytree(P.CLF_CKPT)
+    save_pytree(P.CLF_EVAL, {"params": best["params"], "batch_stats": best["batch_stats"]})
+    print("eval classifier ->", P.CLF_EVAL)
 
 
-def stage_diffwave(iters: int = 20000, batch: int = 16):
-    import jax.numpy as jnp
-
+def stage_diffwave(cfg, P: Paths):
     from diffusion_model_for_audio_defense_tpu.core import linear_schedule
     from diffusion_model_for_audio_defense_tpu.core.checkpoint import save_pytree
     from diffusion_model_for_audio_defense_tpu.data.synth_speech import waveform_batches
-    from diffusion_model_for_audio_defense_tpu.models import WaveNet
     from diffusion_model_for_audio_defense_tpu.train import DiffWaveTrainer
     from diffusion_model_for_audio_defense_tpu.train import logger as tlog
 
-    tlog.configure(OUT, ["csv", "human"])
-    model = WaveNet(dtype=jnp.bfloat16)  # production 256ch/36L, bf16 compute
+    tlog.configure(P.OUT, ["csv", "stdout"])
+    model = _build_wavenet(cfg)
     trainer = DiffWaveTrainer(
-        model, linear_schedule(200), learning_rate=2e-4, output_directory=DW_DIR,
-        iters_per_ckpt=5000, iters_per_logging=200, use_pallas=True,
+        model, linear_schedule(200), learning_rate=2e-4, output_directory=P.DW_DIR,
+        iters_per_ckpt=5000, iters_per_logging=200, use_pallas=_pallas_ok(cfg),
     )
-    trainer.train(waveform_batches(seed=0, batch_size=batch), max_iters=iters)
+    trainer.train(waveform_batches(seed=0, batch_size=cfg["batch"]),
+                  max_iters=cfg["diffwave_iters"])
     trainer.save_checkpoint()
-    save_pytree(DW_FINAL, trainer.params)  # clean params-only ckpt for CLIs
-    print(f"diffwave: {trainer.n_iter} iters -> {DW_FINAL}")
+    save_pytree(P.DW_FINAL, trainer.params)  # clean params-only ckpt for CLIs
+    print(f"diffwave: {trainer.n_iter} iters -> {P.DW_FINAL}")
 
 
-def _load_eval_pieces():
-    import jax.numpy as jnp
-
+def _load_eval_pieces(cfg, P: Paths):
     from diffusion_model_for_audio_defense_tpu.core import linear_schedule
     from diffusion_model_for_audio_defense_tpu.core.checkpoint import load_pytree
-    from diffusion_model_for_audio_defense_tpu.models import WaveNet, create_model
+    from diffusion_model_for_audio_defense_tpu.models import create_model
 
     sched = linear_schedule(200)
-    wavenet = WaveNet(dtype=jnp.bfloat16)
-    wn_vars = load_pytree(DW_FINAL)
+    wavenet = _build_wavenet(cfg)
+    wn_vars = load_pytree(P.DW_FINAL)
     clf = create_model("m5", num_classes=10, in_channels=1)
-    clf_state = load_pytree(CLF_EVAL)
+    clf_state = load_pytree(P.CLF_EVAL)
     clf_vars = {"params": clf_state["params"], "batch_stats": clf_state["batch_stats"]}
     return sched, wavenet, wn_vars, clf, clf_vars
 
 
-def stage_eval(attack_iters: int = 30, certify_n: int = 2000):
+def stage_eval(cfg, P: Paths):
     import jax
     import jax.numpy as jnp
 
     from diffusion_model_for_audio_defense_tpu.core import compute_t_star
     from diffusion_model_for_audio_defense_tpu.core.functional import jit_hoisted
     from diffusion_model_for_audio_defense_tpu.data.synth_speech import labeled_batch
-    from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_stack import wavenet_apply_stack
     from diffusion_model_for_audio_defense_tpu.purify.ddpm import one_shot_denoise
 
-    summary = {"config": {"wavenet": "256ch/36L bf16 (production)", "classifier": "m5",
-                          "schedule": "linear T=200 beta 1e-4..0.02"}}
+    attack_iters, certify_n = cfg["attack_iters"], cfg["certify_n"]
+    summary = {"config": {
+        "wavenet": f"{cfg['res_channels']}ch/{cfg['num_res_layers']}L "
+                   f"cycle{cfg['dilation_cycle']} {cfg['dtype']}",
+        "classifier": "m5", "schedule": "linear T=200 beta 1e-4..0.02",
+        "backend": jax.default_backend(), "pallas": _pallas_ok(cfg),
+        "diffwave_iters": cfg["diffwave_iters"],
+    }}
 
-    sched, wavenet, wn_vars, clf, clf_vars = _load_eval_pieces()
-    eps_fn = lambda x, t: wavenet_apply_stack(
-        wn_vars, x, t[:, None], num_res_layers=wavenet.num_res_layers,
-        dilation_cycle=wavenet.dilation_cycle, dtype=jnp.bfloat16)
+    sched, wavenet, wn_vars, clf, clf_vars = _load_eval_pieces(cfg, P)
+    if _pallas_ok(cfg):
+        from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_stack import (
+            wavenet_apply_stack,
+        )
+
+        eps_fn = lambda x, t: wavenet_apply_stack(
+            wn_vars, x, t[:, None], num_res_layers=wavenet.num_res_layers,
+            dilation_cycle=wavenet.dilation_cycle, dtype=jnp.bfloat16)
+    else:
+        eps_fn = lambda x, t: wavenet.apply(wn_vars, x, t[:, None])
     clf_fn = jit_hoisted(lambda x: clf.apply(clf_vars, x))
 
     # ---- (a) denoise sanity: does one-shot purification recover noisy x? --
@@ -168,7 +248,8 @@ def stage_eval(attack_iters: int = 30, certify_n: int = 2000):
 
     denoise = {}
     key = jax.random.PRNGKey(0)
-    for sigma in (0.1, 0.25):
+    sigmas = (0.25,) if cfg["out"] == PRESETS["smoke"]["out"] else (0.1, 0.25, 0.5, 1.0)
+    for sigma in sigmas:
         t_star = compute_t_star(sched, sigma)
         sas = (1.0 / (1.0 + sigma**2)) ** 0.5
         key, k = jax.random.split(key)
@@ -187,17 +268,20 @@ def stage_eval(attack_iters: int = 30, certify_n: int = 2000):
     # ---- (b) adaptive CW attack: undefended vs Diffusion-defended ---------
     from diffusion_model_for_audio_defense_tpu.cli import adaptive_attack_eval
 
-    common = ["--data_path", TEST_DIR, "--classifier_model", "m5",
-              "--classifier_path", CLF_EVAL, "--attack", "CW",
+    common = ["--data_path", P.TEST_DIR, "--classifier_model", "m5",
+              "--classifier_path", P.CLF_EVAL, "--attack", "CW",
               "--bound_norm", "linf", "--eps", "65",
               "--max_iter_1", str(attack_iters), "--batch_size", "25",
-              "--num_per_class", "5", "--seed", "0"]
+              "--num_per_class", str(cfg["num_per_class"]), "--seed", "0"]
     print("\n=== attack: undefended ===")
     res_none = adaptive_attack_eval.main(common + ["--defense", "None"])
     print("\n=== attack: Diffusion (DDPM one-shot, t*=3) ===")
-    res_diff = adaptive_attack_eval.main(
-        common + ["--defense", "Diffusion", "--diffusion_type", "ddpm",
-                  "--t", "3", "--ddpm_path", DW_FINAL, "--bf16"])
+    defended = common + ["--defense", "Diffusion", "--diffusion_type", "ddpm",
+                         "--t", "3", "--ddpm_path", P.DW_FINAL,
+                         "--ddpm_config", P.CONFIG]
+    if cfg["dtype"] == "bf16":
+        defended.append("--bf16")
+    res_diff = adaptive_attack_eval.main(defended)
     summary["attack_cw_linf_eps65"] = {
         "max_iter_1": attack_iters,
         "undefended": res_none,
@@ -208,13 +292,15 @@ def stage_eval(attack_iters: int = 30, certify_n: int = 2000):
     from diffusion_model_for_audio_defense_tpu.cli import certified_robustness_eval
 
     def certify(method, tag, extra=()):
-        path = os.path.join(OUT, f"certified_{tag}.jsonl")
+        path = os.path.join(P.OUT, f"certified_{tag}.jsonl")
+        if os.path.exists(path):
+            os.unlink(path)  # fresh run, don't resume a previous config's records
         recs = certified_robustness_eval.main([
-            "--data_path", TEST_DIR, "--classifier_model", "m5",
-            "--classifier_path", CLF_EVAL, "--defense_method", method,
+            "--data_path", P.TEST_DIR, "--classifier_model", "m5",
+            "--classifier_path", P.CLF_EVAL, "--defense_method", method,
             "--sigma", "0.25", "--num_sampling", str(certify_n), "--n0", "100",
-            "--certify_batch_size", "128", "--batch_size", "25",
-            "--num_per_class", "5", "--save_path", path, *extra])
+            "--certify_batch_size", str(cfg["certify_batch"]), "--batch_size", "25",
+            "--num_per_class", str(cfg["num_per_class"]), "--save_path", path, *extra])
         n_cert = sum(1 for r in recs if r["y_pred"] == r["y_true"] and r["certified_radius"] > 0)
         radii = [r["certified_radius"] for r in recs
                  if r["y_pred"] == r["y_true"] and r["certified_radius"] > 0]
@@ -225,38 +311,54 @@ def stage_eval(attack_iters: int = 30, certify_n: int = 2000):
     print("\n=== certify: diffusion denoised smoothing (sigma=0.25) ===")
     summary["certify_sigma0.25"] = {
         "diffusion": certify("diffusion", "diffusion_sigma0.25",
-                             ("--ddpm_path", DW_FINAL)),
+                             ("--ddpm_path", P.DW_FINAL, "--ddpm_config", P.CONFIG)),
         "randsmooth_no_denoiser": certify("randsmooth", "randsmooth_sigma0.25"),
         "N": certify_n,
     }
 
-    with open(os.path.join(OUT, "summary.json"), "w") as f:
+    with open(os.path.join(P.OUT, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
-    print("\nsummary ->", os.path.join(OUT, "summary.json"))
+    print("\nsummary ->", os.path.join(P.OUT, "summary.json"))
     print(json.dumps(summary, indent=2))
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--stage", choices=["all", "data", "classifier", "diffwave", "eval"],
                     default="all")
-    ap.add_argument("--diffwave_iters", type=int, default=20000)
-    ap.add_argument("--attack_iters", type=int, default=30)
-    ap.add_argument("--certify_n", type=int, default=2000)
-    args = ap.parse_args()
+    ap.add_argument("--preset", choices=sorted(PRESETS), default="prod")
+    ap.add_argument("--diffwave_iters", type=int, default=None)
+    ap.add_argument("--attack_iters", type=int, default=None)
+    ap.add_argument("--certify_n", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (axon pins JAX_PLATFORMS; this "
+                         "uses jax.config, which still works — CLAUDE.md)")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = PRESETS[args.preset]
+    for k in ("diffwave_iters", "attack_iters", "certify_n"):
+        if getattr(args, k) is not None:
+            cfg = {**cfg, k: getattr(args, k)}
+    P = Paths(cfg["out"])
 
     from diffusion_model_for_audio_defense_tpu.core.functional import enable_compilation_cache
 
     enable_compilation_cache()
-    os.makedirs(OUT, exist_ok=True)
+    os.makedirs(P.OUT, exist_ok=True)
+    _write_config(cfg, P)
     if args.stage in ("all", "data"):
-        stage_data()
+        stage_data(P)
     if args.stage in ("all", "classifier"):
-        stage_classifier()
+        stage_classifier(cfg, P)
     if args.stage in ("all", "diffwave"):
-        stage_diffwave(iters=args.diffwave_iters)
+        stage_diffwave(cfg, P)
     if args.stage in ("all", "eval"):
-        stage_eval(attack_iters=args.attack_iters, certify_n=args.certify_n)
+        stage_eval(cfg, P)
 
 
 if __name__ == "__main__":

@@ -35,17 +35,32 @@ CKPT_DIR = os.path.join(OUT, "ckpts")
 CLF_DIR = os.path.join(OUT, "classifier")
 CLF_EVAL = os.path.join(OUT, "resnext_synth_eval")
 UNET_FINAL = os.path.join(OUT, "unet_final")
+SMOKE = False  # --smoke: minutes-scale pipeline validation (artifact meaningless)
+
+
+def _set_out(out_name: str):
+    """Re-root every stage path (``--smoke`` writes to a scratch dir)."""
+    global OUT, TRAIN_DIR, CKPT_DIR, CLF_DIR, CLF_EVAL, UNET_FINAL
+    OUT = os.path.join(REPO, "artifacts", out_name)
+    TRAIN_DIR = os.path.join(OUT, "synth_sc09_train")
+    CKPT_DIR = os.path.join(OUT, "ckpts")
+    CLF_DIR = os.path.join(OUT, "classifier")
+    CLF_EVAL = os.path.join(OUT, "resnext_synth_eval")
+    UNET_FINAL = os.path.join(OUT, "unet_final")
 
 # exact reference recipe (script_util.py:11-35, spect_train_mpi_run.sh):
 # 128ch/3RB UNet, dropout 0.3, T=200 linear — the same architecture the
 # CLIs' Diffusion-Spec defense instantiates (no width flags there)
 UNET_ARGS = ["--diffusion_steps", "200", "--lr", "1e-4"]
+# --smoke shrinks the UNet (1 host core can't step the 128ch model in
+# reasonable time); prod keeps the exact reference width
+SMOKE_UNET = {"num_channels": 32, "num_res_blocks": 1}
 
 
-def stage_data():
+def stage_data(n_train_per_class: int = 200):
     from diffusion_model_for_audio_defense_tpu.data.synth_speech import write_dataset
 
-    write_dataset(TRAIN_DIR, n_per_class=200, seed=11)
+    write_dataset(TRAIN_DIR, n_per_class=n_train_per_class, seed=11)
     print("train wavs ->", TRAIN_DIR)
     if not os.path.isdir(TEST_DIR):
         write_dataset(TEST_DIR, n_per_class=10, seed=1234)
@@ -57,7 +72,8 @@ def stage_unet(steps: int = 8000, batch: int = 128):
 
     spectrogram_train.main([
         "--data_dir", TRAIN_DIR, "--batch_size", str(batch), "--max_steps", str(steps),
-        "--save_interval", "2000", "--save_dir", CKPT_DIR, *UNET_ARGS,
+        "--save_interval", str(min(2000, steps)), "--save_dir", CKPT_DIR, *UNET_ARGS,
+        *(sum((["--" + k, str(v)] for k, v in SMOKE_UNET.items()), []) if SMOKE else []),
     ])
     # the freshest EMA sweep is the eval checkpoint (reference uses the EMA
     # weights for sampling, train_util.py ema_rate=0.9999)
@@ -71,6 +87,8 @@ def stage_unet(steps: int = 8000, batch: int = 128):
 
 
 def stage_classifier(epochs: int = 20, batches_per_epoch: int = 20, batch: int = 64):
+    if SMOKE:
+        batches_per_epoch, batch = 4, 16
     import jax.numpy as jnp
 
     from diffusion_model_for_audio_defense_tpu.core.checkpoint import load_pytree, save_pytree
@@ -93,7 +111,7 @@ def stage_classifier(epochs: int = 20, batches_per_epoch: int = 20, batch: int =
                 x, y = labeled_batch(rng, batch)
                 yield {"samples": x[:, 0, :], "target": y}
 
-    tlog.configure(CLF_DIR, ["csv", "human"])
+    tlog.configure(CLF_DIR, ["csv", "stdout"])
     model = create_model("resnext29_8_64", num_classes=10, in_channels=1)
     tr = ClassifierTrainer(model, transform=Wave2Spect(n_mels=32), mode="vanilla", lr=0.02,
                            sample_input=jnp.zeros((1, 1, 16000)), save_dir=CLF_DIR)
@@ -106,7 +124,8 @@ def stage_classifier(epochs: int = 20, batches_per_epoch: int = 20, batch: int =
         tlog.dumpkvs()
         tr.maybe_checkpoint(vloss, vacc, "resnext_synth")
     print(f"classifier: best valid acc {tr.best_acc:.4f}")
-    assert tr.best_acc > 0.9, "spec classifier failed to learn the synthetic task"
+    if not SMOKE:
+        assert tr.best_acc > 0.9, "spec classifier failed to learn the synthetic task"
     best = load_pytree(os.path.join(CLF_DIR, "resnext_synth-best-acc"))
     save_pytree(CLF_EVAL, {"params": best["params"], "batch_stats": best["batch_stats"]})
     print("eval classifier ->", CLF_EVAL)
@@ -130,10 +149,11 @@ def stage_eval(attack_iters: int = 30):
         melspec_standardize,
     )
 
-    summary = {"config": {"unet": "128ch/3RB dropout0.3 (exact reference recipe)",
+    summary = {"config": {"unet": ("32ch/1RB SMOKE (not the reference recipe)" if SMOKE
+                                   else "128ch/3RB dropout0.3 (exact reference recipe)"),
                           "classifier": "resnext29_8_64 on mel32",
                           "schedule": "linear T=200"}}
-    unet = create_unet()
+    unet = create_unet(**(SMOKE_UNET if SMOKE else {}))
     unet_vars = load_pytree(UNET_FINAL)
     d = create_gaussian_diffusion(steps=200)
     model_fn = lambda xx, tt: unet.apply(unet_vars, xx, tt)
@@ -145,7 +165,7 @@ def stage_eval(attack_iters: int = 30):
 
     # ---- (a) spec denoise sanity: q-sample noise at t*, ancestral reverse --
     rng = np.random.default_rng(77)
-    x, y = labeled_batch(rng, 100)
+    x, y = labeled_batch(rng, 20 if SMOKE else 100)
     spec = w2s(jnp.asarray(x))
 
     def acc(sb):
@@ -153,7 +173,7 @@ def stage_eval(attack_iters: int = 30):
 
     denoise = {}
     key = jax.random.PRNGKey(0)
-    for t_star in (3, 10):
+    for t_star in ((3,) if SMOKE else (3, 10)):
         key, k1, k2 = jax.random.split(key, 3)
 
         def noisy_and_denoised(spec, k1, k2, t_star=t_star):
@@ -178,7 +198,7 @@ def stage_eval(attack_iters: int = 30):
               "--classifier_path", CLF_EVAL, "--attack", "CW",
               "--bound_norm", "linf", "--eps", "65",
               "--max_iter_1", str(attack_iters), "--batch_size", "25",
-              "--num_per_class", "5", "--seed", "0"]
+              "--num_per_class", str(1 if SMOKE else 5), "--seed", "0"]
     print("\n=== attack: undefended ===")
     res_none = adaptive_attack_eval.main(common + ["--defense", "None"])
     print("\n=== attack: Diffusion-Spec (t*=3) ===")
@@ -197,24 +217,45 @@ def stage_eval(attack_iters: int = 30):
     print(json.dumps(summary, indent=2))
 
 
-def main():
+def main(argv=None):
+    global SMOKE
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--stage", choices=["all", "data", "unet", "classifier", "eval"],
                     default="all")
     ap.add_argument("--unet_steps", type=int, default=8000)
+    ap.add_argument("--unet_batch", type=int, default=128)
+    ap.add_argument("--clf_epochs", type=int, default=20)
     ap.add_argument("--attack_iters", type=int, default=30)
-    args = ap.parse_args()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (axon pins JAX_PLATFORMS; "
+                         "jax.config still works — CLAUDE.md)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="minutes-scale run into artifacts/real_spec_smoke "
+                         "(pipeline validation only)")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.smoke:
+        SMOKE = True
+        _set_out("real_spec_smoke")
+        args.unet_steps = min(args.unet_steps, 6)
+        args.unet_batch = min(args.unet_batch, 8)
+        args.clf_epochs = min(args.clf_epochs, 2)
+        args.attack_iters = min(args.attack_iters, 2)
 
     from diffusion_model_for_audio_defense_tpu.core.functional import enable_compilation_cache
 
     enable_compilation_cache()
     os.makedirs(OUT, exist_ok=True)
     if args.stage in ("all", "data"):
-        stage_data()
+        stage_data(n_train_per_class=8 if SMOKE else 200)
     if args.stage in ("all", "unet"):
-        stage_unet(steps=args.unet_steps)
+        stage_unet(steps=args.unet_steps, batch=args.unet_batch)
     if args.stage in ("all", "classifier"):
-        stage_classifier()
+        stage_classifier(epochs=args.clf_epochs)
     if args.stage in ("all", "eval"):
         stage_eval(attack_iters=args.attack_iters)
 
