@@ -23,19 +23,32 @@ for i in $(seq 1 120); do
 done
 if [ "$up" != 1 ]; then echo "tunnel never answered; giving up"; exit 1; fi
 
-run() { # run <name> <timeout_s> <cmd...>
+reprobe() { # wait (up to ~2.5h) for the tunnel to answer again
+  for i in $(seq 1 60); do
+    probe > "$LOG/probe.log" 2>&1 && return 0
+    echo "reprobe $i: down $(date +%H:%M:%S)"; sleep 150
+  done
+  return 1
+}
+
+run() { # run <name> <timeout_s> <cmd...> — one retry after a re-probe,
+        # so a mid-queue tunnel wedge doesn't burn the remaining work list
   local name=$1 t=$2; shift 2
-  echo "=== $name start $(date +%H:%M:%S) ==="
-  timeout "$t" "$@" > "$LOG/$name.log" 2>&1
-  local rc=$?
-  echo "=== $name rc=$rc end $(date +%H:%M:%S) ==="
-  tail -3 "$LOG/$name.log"
-  return $rc
+  for attempt in 1 2; do
+    echo "=== $name attempt $attempt start $(date +%H:%M:%S) ==="
+    timeout "$t" "$@" > "$LOG/$name.a$attempt.log" 2>&1
+    local rc=$?
+    echo "=== $name attempt $attempt rc=$rc end $(date +%H:%M:%S) ==="
+    tail -3 "$LOG/$name.a$attempt.log"
+    [ $rc -eq 0 ] && return 0
+    [ $attempt -eq 1 ] && { echo "$name failed; re-probing tunnel"; reprobe || return $rc; }
+  done
+  return 1
 }
 
 run bench1   7200 python bench.py
 run diffwave 16000 python scripts/train_real_diffwave.py --preset prod
-run spec     10800 python scripts/train_real_spec.py
+run spec     14000 python scripts/train_real_spec.py
 run lab21    3600 python perf/lab21_unet_bytes.py
 run bench2   3600 python bench.py
 echo "QUEUE DONE $(date)"
