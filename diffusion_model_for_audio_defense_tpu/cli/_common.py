@@ -159,19 +159,32 @@ def build_defender(args, n_mels: int = 32):
         from ..models.unet import create_unet
         from ..purify.spec import RevImprovedDiffusionPurifier
 
+        from ..models.unet import infer_unet_kwargs
+
         # --bf16 (when the CLI defines it) switches the UNet compute dtype —
         # 1.35x the f32 forward on v5e (perf/lab13); params stay f32
         bf16 = getattr(args, "bf16", None)
-        unet = create_unet(dtype=jnp.bfloat16 if bf16 else None)
+        dtype = jnp.bfloat16 if bf16 else None
         path = getattr(args, "ddpm_path", None)
+        variables = None
         if path and os.path.isdir(path):
             variables = load_pytree(path)
         elif path and os.path.isfile(path):
             from ..core.checkpoint import load_unet_checkpoint
 
             variables = load_unet_checkpoint(path)  # reference model084000.pt format
+        if variables is not None:
+            # geometry comes from the checkpoint itself (non-reference widths,
+            # e.g. the reduced configs of scripts/train_real_spec.py)
+            try:
+                unet = create_unet(dtype=dtype, **infer_unet_kwargs(variables))
+            except (KeyError, ValueError, AttributeError) as e:
+                print(f"[warn] UNet geometry inference failed ({e}); using reference defaults",
+                      file=sys.stderr)
+                unet = create_unet(dtype=dtype)
         else:
             print(f"[warn] UNet checkpoint not found at {path!r}; using random init", file=sys.stderr)
+            unet = create_unet(dtype=dtype)
             variables = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 32, 32)), jnp.zeros((1,)))
         defender = RevImprovedDiffusionPurifier(
             lambda x, t: unet.apply(variables, x, t), t=args.t, sample_step=args.sample_step,

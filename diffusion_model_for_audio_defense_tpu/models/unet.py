@@ -258,6 +258,32 @@ class SuperResModel(nn.Module):
         return self._unet(jnp.concatenate([x, up], axis=1), timesteps, train)
 
 
+def infer_unet_kwargs(variables) -> dict:
+    """Derive ``create_unet`` kwargs from a checkpoint's parameter shapes.
+
+    The reference CLIs instantiate the spec UNet at a fixed width (no flags —
+    ``adaptive_attack_eval.py`` hard-codes ``create_model`` defaults), which
+    breaks the moment a checkpoint was trained at another size (e.g. the
+    reduced smoke/CPU configs of ``scripts/train_real_spec.py``). Parameter
+    shapes carry the full geometry for 32×32 models, so the CLIs infer it:
+
+    - ``time_embed_0.kernel`` is ``(model_channels, 4*model_channels)``,
+    - ``down_res_*`` / ``down_sample_*`` counts give num_res_blocks / levels,
+    - ``in_conv.kernel`` is ``(3, 3, in_channels, model_channels)``,
+    - ``out_conv`` doubling the input channels means ``learn_sigma``.
+    """
+    params = variables["params"] if "params" in variables else variables
+    num_channels = int(params["time_embed_0"]["kernel"].shape[0])
+    n_down = sum(1 for k in params if str(k).startswith("down_res_"))
+    n_levels = sum(1 for k in params if str(k).startswith("down_sample_")) + 1
+    if n_down == 0 or n_down % n_levels:
+        raise ValueError(f"cannot infer num_res_blocks from {n_down} blocks / {n_levels} levels")
+    in_channels = int(params["in_conv"]["kernel"].shape[2])
+    learn_sigma = int(params["out_conv"]["kernel"].shape[-1]) == 2 * in_channels
+    return dict(num_channels=num_channels, num_res_blocks=n_down // n_levels,
+                in_channels=in_channels, learn_sigma=learn_sigma)
+
+
 def create_unet(
     image_size: int = 32,
     num_channels: int = 128,

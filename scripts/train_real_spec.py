@@ -28,18 +28,40 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-OUT = os.path.join(REPO, "artifacts", "real_spec")
-TRAIN_DIR = os.path.join(OUT, "synth_sc09_train")
 TEST_DIR = os.path.join(REPO, "artifacts", "real_diffwave", "synth_sc09_test")
-CKPT_DIR = os.path.join(OUT, "ckpts")
-CLF_DIR = os.path.join(OUT, "classifier")
-CLF_EVAL = os.path.join(OUT, "resnext_synth_eval")
-UNET_FINAL = os.path.join(OUT, "unet_final")
-SMOKE = False  # --smoke: minutes-scale pipeline validation (artifact meaningless)
+
+# exact reference recipe (script_util.py:11-35, spect_train_mpi_run.sh):
+# 128ch/3RB UNet, dropout 0.3, T=200 linear. Reduced presets flow through
+# the SAME CLI seams — the attack CLI rebuilds the UNet geometry from the
+# checkpoint itself (models.unet.infer_unet_kwargs).
+PRESETS = {
+    # production: the exact reference recipe, needs the TPU
+    "prod": dict(out="real_spec", unet={}, unet_steps=8000, unet_batch=128,
+                 n_train_per_class=200, clf_epochs=20, clf_bpe=20, clf_batch=64,
+                 attack_iters=30, eval_n=100, t_stars=(3, 10), num_per_class=5,
+                 assert_acc=True),
+    # single-host-core-feasible reduction (nproc=1 here): a real-weights
+    # hedge artifact for when the TPU tunnel is down
+    "cpu": dict(out="real_spec_cpu", unet={"num_channels": 32, "num_res_blocks": 1},
+                unet_steps=400, unet_batch=8,
+                n_train_per_class=80, clf_epochs=6, clf_bpe=6, clf_batch=24,
+                attack_iters=10, eval_n=50, t_stars=(3,), num_per_class=2,
+                assert_acc=True),
+    # minutes-scale end-to-end pipeline validation (artifact is meaningless)
+    "smoke": dict(out="real_spec_smoke", unet={"num_channels": 32, "num_res_blocks": 1},
+                  unet_steps=6, unet_batch=8,
+                  n_train_per_class=8, clf_epochs=2, clf_bpe=4, clf_batch=16,
+                  attack_iters=2, eval_n=20, t_stars=(3,), num_per_class=1,
+                  assert_acc=False),
+}
+CFG = PRESETS["prod"]
+UNET_ARGS = ["--diffusion_steps", "200", "--lr", "1e-4"]
+
+OUT = TRAIN_DIR = CKPT_DIR = CLF_DIR = CLF_EVAL = UNET_FINAL = None
 
 
 def _set_out(out_name: str):
-    """Re-root every stage path (``--smoke`` writes to a scratch dir)."""
+    """Re-root every stage path (each preset writes its own artifact dir)."""
     global OUT, TRAIN_DIR, CKPT_DIR, CLF_DIR, CLF_EVAL, UNET_FINAL
     OUT = os.path.join(REPO, "artifacts", out_name)
     TRAIN_DIR = os.path.join(OUT, "synth_sc09_train")
@@ -48,13 +70,8 @@ def _set_out(out_name: str):
     CLF_EVAL = os.path.join(OUT, "resnext_synth_eval")
     UNET_FINAL = os.path.join(OUT, "unet_final")
 
-# exact reference recipe (script_util.py:11-35, spect_train_mpi_run.sh):
-# 128ch/3RB UNet, dropout 0.3, T=200 linear — the same architecture the
-# CLIs' Diffusion-Spec defense instantiates (no width flags there)
-UNET_ARGS = ["--diffusion_steps", "200", "--lr", "1e-4"]
-# --smoke shrinks the UNet (1 host core can't step the 128ch model in
-# reasonable time); prod keeps the exact reference width
-SMOKE_UNET = {"num_channels": 32, "num_res_blocks": 1}
+
+_set_out(CFG["out"])
 
 
 def stage_data(n_train_per_class: int = 200):
@@ -73,7 +90,7 @@ def stage_unet(steps: int = 8000, batch: int = 128):
     spectrogram_train.main([
         "--data_dir", TRAIN_DIR, "--batch_size", str(batch), "--max_steps", str(steps),
         "--save_interval", str(min(2000, steps)), "--save_dir", CKPT_DIR, *UNET_ARGS,
-        *(sum((["--" + k, str(v)] for k, v in SMOKE_UNET.items()), []) if SMOKE else []),
+        *sum((["--" + k, str(v)] for k, v in CFG["unet"].items()), []),
     ])
     # the freshest EMA sweep is the eval checkpoint (reference uses the EMA
     # weights for sampling, train_util.py ema_rate=0.9999)
@@ -87,8 +104,7 @@ def stage_unet(steps: int = 8000, batch: int = 128):
 
 
 def stage_classifier(epochs: int = 20, batches_per_epoch: int = 20, batch: int = 64):
-    if SMOKE:
-        batches_per_epoch, batch = 4, 16
+    batches_per_epoch, batch = CFG["clf_bpe"], CFG["clf_batch"]
     import jax.numpy as jnp
 
     from diffusion_model_for_audio_defense_tpu.core.checkpoint import load_pytree, save_pytree
@@ -124,7 +140,7 @@ def stage_classifier(epochs: int = 20, batches_per_epoch: int = 20, batch: int =
         tlog.dumpkvs()
         tr.maybe_checkpoint(vloss, vacc, "resnext_synth")
     print(f"classifier: best valid acc {tr.best_acc:.4f}")
-    if not SMOKE:
+    if CFG["assert_acc"]:
         assert tr.best_acc > 0.9, "spec classifier failed to learn the synthetic task"
     best = load_pytree(os.path.join(CLF_DIR, "resnext_synth-best-acc"))
     save_pytree(CLF_EVAL, {"params": best["params"], "batch_stats": best["batch_stats"]})
@@ -149,12 +165,16 @@ def stage_eval(attack_iters: int = 30):
         melspec_standardize,
     )
 
-    summary = {"config": {"unet": ("32ch/1RB SMOKE (not the reference recipe)" if SMOKE
-                                   else "128ch/3RB dropout0.3 (exact reference recipe)"),
+    unet_desc = ("128ch/3RB dropout0.3 (exact reference recipe)" if not CFG["unet"]
+                 else "{num_channels}ch/{num_res_blocks}RB reduced".format(**CFG["unet"]))
+    summary = {"config": {"unet": unet_desc,
                           "classifier": "resnext29_8_64 on mel32",
                           "schedule": "linear T=200"}}
-    unet = create_unet(**(SMOKE_UNET if SMOKE else {}))
     unet_vars = load_pytree(UNET_FINAL)
+    # geometry from the checkpoint itself, same seam the attack CLI uses
+    from diffusion_model_for_audio_defense_tpu.models.unet import infer_unet_kwargs
+
+    unet = create_unet(**infer_unet_kwargs(unet_vars))
     d = create_gaussian_diffusion(steps=200)
     model_fn = lambda xx, tt: unet.apply(unet_vars, xx, tt)
     clf = create_model("resnext29_8_64", num_classes=10, in_channels=1)
@@ -165,7 +185,7 @@ def stage_eval(attack_iters: int = 30):
 
     # ---- (a) spec denoise sanity: q-sample noise at t*, ancestral reverse --
     rng = np.random.default_rng(77)
-    x, y = labeled_batch(rng, 20 if SMOKE else 100)
+    x, y = labeled_batch(rng, CFG["eval_n"])
     spec = w2s(jnp.asarray(x))
 
     def acc(sb):
@@ -173,7 +193,7 @@ def stage_eval(attack_iters: int = 30):
 
     denoise = {}
     key = jax.random.PRNGKey(0)
-    for t_star in ((3,) if SMOKE else (3, 10)):
+    for t_star in CFG["t_stars"]:
         key, k1, k2 = jax.random.split(key, 3)
 
         def noisy_and_denoised(spec, k1, k2, t_star=t_star):
@@ -198,7 +218,7 @@ def stage_eval(attack_iters: int = 30):
               "--classifier_path", CLF_EVAL, "--attack", "CW",
               "--bound_norm", "linf", "--eps", "65",
               "--max_iter_1", str(attack_iters), "--batch_size", "25",
-              "--num_per_class", str(1 if SMOKE else 5), "--seed", "0"]
+              "--num_per_class", str(CFG["num_per_class"]), "--seed", "0"]
     print("\n=== attack: undefended ===")
     res_none = adaptive_attack_eval.main(common + ["--defense", "None"])
     print("\n=== attack: Diffusion-Spec (t*=3) ===")
@@ -218,20 +238,19 @@ def stage_eval(attack_iters: int = 30):
 
 
 def main(argv=None):
-    global SMOKE
+    global CFG
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--stage", choices=["all", "data", "unet", "classifier", "eval"],
                     default="all")
-    ap.add_argument("--unet_steps", type=int, default=8000)
-    ap.add_argument("--unet_batch", type=int, default=128)
-    ap.add_argument("--clf_epochs", type=int, default=20)
-    ap.add_argument("--attack_iters", type=int, default=30)
+    ap.add_argument("--preset", choices=sorted(PRESETS), default="prod")
+    ap.add_argument("--unet_steps", type=int, default=None)
+    ap.add_argument("--unet_batch", type=int, default=None)
+    ap.add_argument("--clf_epochs", type=int, default=None)
+    ap.add_argument("--attack_iters", type=int, default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (axon pins JAX_PLATFORMS; "
                          "jax.config still works — CLAUDE.md)")
-    ap.add_argument("--smoke", action="store_true",
-                    help="minutes-scale run into artifacts/real_spec_smoke "
-                         "(pipeline validation only)")
+    ap.add_argument("--smoke", action="store_true", help="alias for --preset smoke")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -239,25 +258,25 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
     if args.smoke:
-        SMOKE = True
-        _set_out("real_spec_smoke")
-        args.unet_steps = min(args.unet_steps, 6)
-        args.unet_batch = min(args.unet_batch, 8)
-        args.clf_epochs = min(args.clf_epochs, 2)
-        args.attack_iters = min(args.attack_iters, 2)
+        args.preset = "smoke"
+    CFG = dict(PRESETS[args.preset])
+    for k in ("unet_steps", "unet_batch", "clf_epochs", "attack_iters"):
+        if getattr(args, k) is not None:
+            CFG[k] = getattr(args, k)
+    _set_out(CFG["out"])
 
     from diffusion_model_for_audio_defense_tpu.core.functional import enable_compilation_cache
 
     enable_compilation_cache()
     os.makedirs(OUT, exist_ok=True)
     if args.stage in ("all", "data"):
-        stage_data(n_train_per_class=8 if SMOKE else 200)
+        stage_data(n_train_per_class=CFG["n_train_per_class"])
     if args.stage in ("all", "unet"):
-        stage_unet(steps=args.unet_steps, batch=args.unet_batch)
+        stage_unet(steps=CFG["unet_steps"], batch=CFG["unet_batch"])
     if args.stage in ("all", "classifier"):
-        stage_classifier(epochs=args.clf_epochs)
+        stage_classifier(epochs=CFG["clf_epochs"])
     if args.stage in ("all", "eval"):
-        stage_eval(attack_iters=args.attack_iters)
+        stage_eval(attack_iters=CFG["attack_iters"])
 
 
 if __name__ == "__main__":

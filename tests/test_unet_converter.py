@@ -139,3 +139,30 @@ def test_unet_converter_parity(rng_np):
     assert ours.shape == golden.shape
     assert np.abs(golden).max() > 1e-3  # non-vacuous
     np.testing.assert_allclose(ours, golden, atol=5e-5, rtol=1e-4)
+
+
+def test_infer_unet_kwargs_roundtrip():
+    """CLI geometry inference (cli/_common.py Diffusion-Spec): a non-default
+    checkpoint must rebuild the exact architecture that produced it — the
+    reference CLIs hard-code create_model defaults (adaptive_attack_eval.py),
+    which breaks on any reduced/widened UNet checkpoint."""
+    from diffusion_model_for_audio_defense_tpu.models.unet import (
+        create_unet,
+        infer_unet_kwargs,
+    )
+
+    for kwargs in (
+        dict(num_channels=32, num_res_blocks=1),
+        dict(num_channels=64, num_res_blocks=2, learn_sigma=True),
+        dict(),  # reference default 128ch/3RB
+    ):
+        unet = create_unet(**kwargs)
+        variables = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 32, 32)), jnp.zeros((1,)))
+        got = infer_unet_kwargs(variables)
+        want = dict(num_channels=128, num_res_blocks=3, in_channels=1, learn_sigma=False)
+        want.update(kwargs)
+        assert got == want
+        # the inferred kwargs rebuild a module that accepts the params as-is
+        rebuilt = create_unet(**got)
+        out = rebuilt.apply(variables, jnp.zeros((1, 1, 32, 32)), jnp.zeros((1,)))
+        assert out.shape == (1, 2 if got["learn_sigma"] else 1, 32, 32)
