@@ -93,6 +93,30 @@ def _pallas_ok(cfg) -> bool:
     return jax.default_backend() != "cpu" and cfg["res_channels"] % 128 == 0
 
 
+def make_eps_fn(cfg, wavenet, wn_vars, *, interpret: bool = False):
+    """ε-net callable for the eval stage.
+
+    On TPU with a %128-channel config this is the fused Pallas stack (the
+    production certify path); otherwise the XLA ``WaveNet.apply``. Extracted
+    from ``stage_eval`` so tests can exercise the exact prod wiring with
+    ``interpret=True`` on CPU — the cpu/smoke presets never take the Pallas
+    branch, and a wiring bug here would otherwise surface hours into the
+    prod TPU run.
+    """
+    import jax.numpy as jnp
+
+    if interpret or _pallas_ok(cfg):
+        from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_stack import (
+            wavenet_apply_stack,
+        )
+
+        dtype = jnp.bfloat16 if cfg["dtype"] == "bf16" else jnp.float32
+        return lambda x, t: wavenet_apply_stack(
+            wn_vars, x, t[:, None], num_res_layers=wavenet.num_res_layers,
+            dilation_cycle=wavenet.dilation_cycle, dtype=dtype, interpret=interpret)
+    return lambda x, t: wavenet.apply(wn_vars, x, t[:, None])
+
+
 def _write_config(cfg, P: Paths):
     """Reference-format config.json (DiffWave_Unconditional/config.json keys)
     so the eval CLIs (--ddpm_config) build the identical reduced WaveNet."""
@@ -226,16 +250,7 @@ def stage_eval(cfg, P: Paths):
     }}
 
     sched, wavenet, wn_vars, clf, clf_vars = _load_eval_pieces(cfg, P)
-    if _pallas_ok(cfg):
-        from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_stack import (
-            wavenet_apply_stack,
-        )
-
-        eps_fn = lambda x, t: wavenet_apply_stack(
-            wn_vars, x, t[:, None], num_res_layers=wavenet.num_res_layers,
-            dilation_cycle=wavenet.dilation_cycle, dtype=jnp.bfloat16)
-    else:
-        eps_fn = lambda x, t: wavenet.apply(wn_vars, x, t[:, None])
+    eps_fn = make_eps_fn(cfg, wavenet, wn_vars)
     clf_fn = jit_hoisted(lambda x: clf.apply(clf_vars, x))
 
     # ---- (a) denoise sanity: does one-shot purification recover noisy x? --

@@ -79,3 +79,38 @@ def test_diffwave_presets_describe_valid_wavenet(diffwave_mod):
     for name, cfg in diffwave_mod.PRESETS.items():
         assert cfg["num_res_layers"] % cfg["dilation_cycle"] == 0, name
         assert cfg["dtype"] in ("bf16", "f32"), name
+
+
+def test_make_eps_fn_pallas_wiring_matches_xla(diffwave_mod, rng_np):
+    """The prod eval stage takes a Pallas branch the cpu/smoke presets never
+    execute — run its exact wiring (make_eps_fn) in interpret mode on CPU
+    and check it against WaveNet.apply, so a wiring bug can't surface hours
+    into the prod TPU run."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cfg = dict(diffwave_mod.PRESETS["prod"], res_channels=128, num_res_layers=2,
+               dilation_cycle=2, dtype="f32")
+    wavenet = diffwave_mod._build_wavenet(cfg)
+    L = 2048
+    variables = wavenet.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, L)), jnp.zeros((1, 1)))
+    # zero-init output head → vacuous parity: randomize it
+    variables = flax.core.unfreeze(variables)
+    fc2 = variables["params"]["final_conv2"]["Conv_0"]
+    variables["params"]["final_conv2"]["Conv_0"] = {
+        "kernel": jnp.asarray(rng_np.standard_normal(fc2["kernel"].shape).astype(np.float32) * 0.05),
+        "bias": jnp.asarray(rng_np.standard_normal(fc2["bias"].shape).astype(np.float32) * 0.05),
+    }
+
+    eps_fn = diffwave_mod.make_eps_fn(cfg, wavenet, variables, interpret=True)
+    x = jnp.asarray(rng_np.standard_normal((2, 1, L)).astype(np.float32) * 0.3)
+    t = jnp.full((2,), 5.0, jnp.float32)  # one_shot_denoise's call convention
+    got = np.asarray(eps_fn(x, t))
+    want = np.asarray(wavenet.apply(variables, x, t[:, None]))
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+    # the XLA branch (what the cpu preset runs) through the same seam
+    xla_fn = diffwave_mod.make_eps_fn(dict(cfg, res_channels=32), wavenet, variables)
+    np.testing.assert_allclose(np.asarray(xla_fn(x, t)), want, rtol=1e-6)
