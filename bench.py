@@ -106,9 +106,25 @@ def _supervise() -> int:
 
     attempts = int(os.environ.get("DMAD_BENCH_ATTEMPTS", "3"))
     watchdog = int(os.environ.get("DMAD_BENCH_TIMEOUT", "2400"))
+    probe_timeout = int(os.environ.get("DMAD_BENCH_PROBE_TIMEOUT", "300"))
     backoffs = [30, 90, 180]
     env = dict(os.environ)
     env["_DMAD_BENCH_CHILD"] = "1"
+
+    def probe() -> bool:
+        """Fail fast when the tunnel is wedged in hang-mode (backend init
+        blocks forever): a cheap jax.devices() child with a short timeout,
+        so a dead tunnel costs ~probe_timeout per attempt instead of the
+        full bench watchdog (which must stay long enough for the ~5 min
+        cold certify compile)."""
+        try:
+            return subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout, capture_output=True,
+            ).returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
     rc = -1
     for i in range(attempts):
         if i:
@@ -116,6 +132,11 @@ def _supervise() -> int:
             print(f"bench: attempt {i} failed rc={rc}; retrying in {delay}s "
                   f"(fresh axon client)", file=sys.stderr, flush=True)
             time.sleep(delay)
+        if not probe():
+            print(f"bench: attempt {i + 1} pre-probe found no live backend "
+                  f"within {probe_timeout}s; skipping", file=sys.stderr, flush=True)
+            rc = 125
+            continue
         try:
             rc = subprocess.run(
                 [sys.executable, "-u", os.path.abspath(__file__)],
@@ -133,7 +154,10 @@ def _supervise() -> int:
         "unit": "utt/hr",
         "vs_baseline": None,
         "error": f"all {attempts} attempts failed, last rc={rc} "
-                 "(see stderr for tracebacks)",
+                 "(125 = tunnel pre-probe timeout / wedged backend; "
+                 "see stderr for tracebacks)",
+        "last_green": {"value": 10.40, "round": 2,
+                       "note": "most recent driver-recorded measurement"},
     }), flush=True)
     return 1
 
