@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from diffusion_model_for_audio_defense_tpu.core.functional import (
     enable_compilation_cache,
-    jit_hoisted,
 )
 from diffusion_model_for_audio_defense_tpu.models.unet import create_unet
 
@@ -103,7 +102,9 @@ def main():
     variables = unet.init(jax.random.PRNGKey(1), spec[:1], t[:1])
 
     fwd = lambda s: unet.apply(variables, s, t)
-    lowered = jit_hoisted(fwd).lower(spec)
+    # params as explicit args for the cost analysis — the same HLO shape
+    # jit_hoisted produces at runtime (jit_hoisted's wrapper has no .lower)
+    lowered = jax.jit(lambda v, s: unet.apply(v, s, t)).lower(variables, spec)
     compiled = lowered.compile()
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
