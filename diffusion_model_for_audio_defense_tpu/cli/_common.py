@@ -165,6 +165,11 @@ def build_defender(args, n_mels: int = 32):
         # 1.35x the f32 forward on v5e (perf/lab13); params stay f32
         bf16 = getattr(args, "bf16", None)
         dtype = jnp.bfloat16 if bf16 else None
+        # fused Pallas attention on TPU (perf/lab22) — per-block shape guard
+        # lives in AttentionBlock/supports, so reduced checkpoints just fall
+        # back; --no_pallas_attention opts out (mirrors --no_pallas_grad)
+        pattn = (jax.default_backend() != "cpu"
+                 and not getattr(args, "no_pallas_attention", False))
         path = getattr(args, "ddpm_path", None)
         variables = None
         if path and os.path.isdir(path):
@@ -177,14 +182,15 @@ def build_defender(args, n_mels: int = 32):
             # geometry comes from the checkpoint itself (non-reference widths,
             # e.g. the reduced configs of scripts/train_real_spec.py)
             try:
-                unet = create_unet(dtype=dtype, **infer_unet_kwargs(variables))
+                unet = create_unet(dtype=dtype, use_pallas_attention=pattn,
+                                   **infer_unet_kwargs(variables))
             except (KeyError, ValueError, AttributeError) as e:
                 print(f"[warn] UNet geometry inference failed ({e}); using reference defaults",
                       file=sys.stderr)
-                unet = create_unet(dtype=dtype)
+                unet = create_unet(dtype=dtype, use_pallas_attention=pattn)
         else:
             print(f"[warn] UNet checkpoint not found at {path!r}; using random init", file=sys.stderr)
-            unet = create_unet(dtype=dtype)
+            unet = create_unet(dtype=dtype, use_pallas_attention=pattn)
             variables = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 32, 32)), jnp.zeros((1,)))
         defender = RevImprovedDiffusionPurifier(
             lambda x, t: unet.apply(variables, x, t), t=args.t, sample_step=args.sample_step,

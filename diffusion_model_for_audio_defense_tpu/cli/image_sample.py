@@ -85,6 +85,9 @@ def sample_plain(args, log=print):
         attention_resolutions=args.attention_resolutions, dropout=args.dropout,
         num_heads=args.num_heads, num_heads_upsample=args.num_heads_upsample,
         use_scale_shift_norm=args.use_scale_shift_norm,
+        # fused Pallas attention on TPU (perf/lab22); per-block shape guard
+        # in AttentionBlock means non-production widths just fall back
+        use_pallas_attention=jax.default_backend() != "cpu",
     )
     diffusion = create_gaussian_diffusion(
         steps=args.diffusion_steps, learn_sigma=args.learn_sigma, sigma_small=args.sigma_small,

@@ -34,6 +34,9 @@ def build_parser():
     p.add_argument("--no_pallas_grad", action="store_true", default=False,
                    help="disable the differentiable Pallas WaveNet stack "
                         "for attack gradients (fall back to XLA autodiff)")
+    p.add_argument("--no_pallas_attention", action="store_true", default=False,
+                        help="disable the fused Pallas UNet attention for the "
+                             "spec defense (fall back to the einsum path)")
     p.add_argument("--remat_cycles", type=int, default=None,
         help="force (1) / disable (0) per-cycle rematerialization in the "
              "Pallas backward; default auto-enables above a ~12 GB stash")

@@ -100,18 +100,30 @@ class ResBlock(nn.Module):
 class AttentionBlock(nn.Module):
     num_heads: int = 1
     dtype: object = None
+    # Fused Pallas attention (ops/pallas/unet_attention.py): scores stay in
+    # VMEM instead of round-tripping HBM — the UNet forward is HBM-bound
+    # (perf/lab21/lab22). Falls back to the einsum path for shapes the
+    # kernel doesn't cover (tiny test configs). `pallas_interpret` runs the
+    # kernel in interpret mode (CPU tests).
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.pallas import unet_attention as _pattn
+
         B, H, W, C = x.shape
         h = GroupNorm32(name="norm")(x).reshape(B, H * W, C)
         qkv = nn.Dense(3 * C, name="qkv", dtype=self.dtype)(h)  # 1-D conv k=1
-        qkv = qkv.reshape(B, H * W, 3, self.num_heads, C // self.num_heads)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, h, d)
-        scale = 1.0 / math.sqrt(math.sqrt(C // self.num_heads))
-        w = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale)
-        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(x.dtype)
-        a = jnp.einsum("bhts,bshd->bthd", w, v).reshape(B, H * W, C)
+        if self.use_pallas and _pattn.supports(H * W, C, self.num_heads):
+            a = _pattn.fused_qkv_attention(qkv, self.num_heads, self.pallas_interpret)
+        else:
+            qkv = qkv.reshape(B, H * W, 3, self.num_heads, C // self.num_heads)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, h, d)
+            scale = 1.0 / math.sqrt(math.sqrt(C // self.num_heads))
+            w = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale)
+            w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(x.dtype)
+            a = jnp.einsum("bhts,bshd->bthd", w, v).reshape(B, H * W, C)
         out = nn.Dense(C, kernel_init=nn.initializers.zeros_init(), name="proj_out", dtype=self.dtype)(a)
         return x + out.reshape(B, H, W, C)
 
@@ -158,6 +170,9 @@ class UNetModel(nn.Module):
     # (improved_diffusion/unet.py:439-460): bf16 keeps the MXU fed without
     # the loss-scale dance of fp16_util.py
     dtype: object = None
+    # fused Pallas attention (HBM-bound forward; see AttentionBlock)
+    use_pallas_attention: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, timesteps: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -181,7 +196,8 @@ class UNetModel(nn.Module):
                 h = ResBlock(mult * self.model_channels, self.dropout, self.use_scale_shift_norm,
                              dtype=self.dtype, name=f"down_res_{blk}")(h, emb, train)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock(self.num_heads, dtype=self.dtype, name=f"down_attn_{blk}")(h)
+                    h = AttentionBlock(self.num_heads, dtype=self.dtype, use_pallas=self.use_pallas_attention,
+                                       pallas_interpret=self.pallas_interpret, name=f"down_attn_{blk}")(h)
                 hs.append(h)
                 blk += 1
             if level != len(self.channel_mult) - 1:
@@ -191,7 +207,8 @@ class UNetModel(nn.Module):
 
         h = ResBlock(h.shape[-1], self.dropout, self.use_scale_shift_norm, dtype=self.dtype,
                      name="mid_res_0")(h, emb, train)
-        h = AttentionBlock(self.num_heads, dtype=self.dtype, name="mid_attn")(h)
+        h = AttentionBlock(self.num_heads, dtype=self.dtype, use_pallas=self.use_pallas_attention,
+                           pallas_interpret=self.pallas_interpret, name="mid_attn")(h)
         h = ResBlock(h.shape[-1], self.dropout, self.use_scale_shift_norm, dtype=self.dtype,
                      name="mid_res_1")(h, emb, train)
 
@@ -202,7 +219,8 @@ class UNetModel(nn.Module):
                 h = ResBlock(mult * self.model_channels, self.dropout, self.use_scale_shift_norm,
                              dtype=self.dtype, name=f"up_res_{blk}")(h, emb, train)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock(heads_up, dtype=self.dtype, name=f"up_attn_{blk}")(h)
+                    h = AttentionBlock(heads_up, dtype=self.dtype, use_pallas=self.use_pallas_attention,
+                                       pallas_interpret=self.pallas_interpret, name=f"up_attn_{blk}")(h)
                 blk += 1
             if level:
                 h = Upsample(self.conv_resample, dtype=self.dtype, name=f"up_sample_{level}")(h)
@@ -296,6 +314,8 @@ def create_unet(
     use_scale_shift_norm: bool = True,
     in_channels: int = 1,
     dtype=None,
+    use_pallas_attention: bool = False,
+    pallas_interpret: bool = False,
 ) -> UNetModel:
     """Mirror of ``script_util.create_model`` (:86-126)."""
     if image_size == 256:
@@ -319,4 +339,6 @@ def create_unet(
         num_heads_upsample=num_heads_upsample,
         use_scale_shift_norm=use_scale_shift_norm,
         dtype=dtype,
+        use_pallas_attention=use_pallas_attention,
+        pallas_interpret=pallas_interpret,
     )
