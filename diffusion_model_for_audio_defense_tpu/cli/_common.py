@@ -157,7 +157,7 @@ def build_defender(args, n_mels: int = 32):
         return defender, "wave", True
     if name == "Diffusion-Spec":
         from ..models.unet import create_unet
-        from ..purify.spec import RevImprovedDiffusionPurifier
+        from ..purify.spec import RevImprovedDiffusionPurifier, load_mel_bounds
 
         from ..models.unet import infer_unet_kwargs
 
@@ -167,8 +167,9 @@ def build_defender(args, n_mels: int = 32):
         dtype = jnp.bfloat16 if bf16 else None
         # fused Pallas attention on TPU (perf/lab22) — per-block shape guard
         # lives in AttentionBlock/supports, so reduced checkpoints just fall
-        # back; --no_pallas_attention opts out (mirrors --no_pallas_grad)
-        pattn = (jax.default_backend() != "cpu"
+        # back; --no_pallas_attention opts out (mirrors --no_pallas_grad).
+        # Gate on == "tpu": the kernel uses pltpu.CompilerParams (ADVICE r4).
+        pattn = (jax.default_backend() == "tpu"
                  and not getattr(args, "no_pallas_attention", False))
         path = getattr(args, "ddpm_path", None)
         variables = None
@@ -192,9 +193,16 @@ def build_defender(args, n_mels: int = 32):
             print(f"[warn] UNet checkpoint not found at {path!r}; using random init", file=sys.stderr)
             unet = create_unet(dtype=dtype, use_pallas_attention=pattn)
             variables = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, 32, 32)), jnp.zeros((1,)))
+        # standardize bounds travel with the checkpoint (sidecar json written
+        # by spectrogram_train --mel_bounds auto); reference constants otherwise
+        bounds = load_mel_bounds(path)
+        from ..purify.spec import REF_MEL_BOUNDS
+
+        if tuple(bounds) != REF_MEL_BOUNDS:
+            print(f"[info] Diffusion-Spec standardize bounds from sidecar: {bounds}", file=sys.stderr)
         defender = RevImprovedDiffusionPurifier(
             lambda x, t: unet.apply(variables, x, t), t=args.t, sample_step=args.sample_step,
-            rand_t=args.rand_t, t_delta=args.t_delta,
+            rand_t=args.rand_t, t_delta=args.t_delta, mel_bounds=bounds,
         )
         return defender, "spec", True
     if name in ("AS", "MS", "AT"):
@@ -265,12 +273,21 @@ def build_attacker(args, system, model_fn=None):
                            verbose=args.verbose, batch_size=args.batch_size,
                            fused_loop=bool(getattr(args, "fused_loop", False)))
     if args.attack == "FAKEBOB":
+        # reference budget 200 iters x 200 draws (adaptive_attack_eval.py:209-218);
+        # --bb_max_iter/--bb_samples_per_draw scale it down for heavy defended
+        # chains (the artifact records the scaling)
+        it = getattr(args, "bb_max_iter", None) or 200
+        spd = getattr(args, "bb_samples_per_draw", None) or 200
         return FAKEBOB(model_fn, task="SCR", targeted=False, verbose=args.verbose,
-                       confidence=0.5, epsilon=0.002, max_lr=5e-4, min_lr=1e-4, max_iter=200,
-                       samples_per_draw=200, samples_per_draw_batch_size=200, batch_size=args.batch_size,
+                       confidence=0.5, epsilon=0.002, max_lr=5e-4, min_lr=1e-4, max_iter=it,
+                       samples_per_draw=spd, samples_per_draw_batch_size=spd, batch_size=args.batch_size,
                        fused_loop=bool(getattr(args, "fused_loop", False)))
     if args.attack == "SirenAttack":
+        # reference budget 300 epochs x 30 iters x 25 particles (:219-227)
+        ep = getattr(args, "bb_max_epoch", None) or 300
+        it = getattr(args, "bb_max_iter", None) or 30
+        np_ = getattr(args, "bb_n_particles", None) or 25
         return SirenAttack(model_fn, task="SCR", targeted=False, verbose=args.verbose,
-                           batch_size=args.batch_size, epsilon=0.002, max_epoch=300, max_iter=30, n_particles=25,
+                           batch_size=args.batch_size, epsilon=0.002, max_epoch=ep, max_iter=it, n_particles=np_,
                            fused_loop=bool(getattr(args, "fused_loop", False)))
     raise AttributeError(f"this version does not support '{args.attack}' at present")

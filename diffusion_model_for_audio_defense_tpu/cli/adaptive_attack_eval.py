@@ -66,6 +66,13 @@ def build_parser():
              "and the Diffusion-Spec UNet); params stay f32")
     # attack arguments (reference :38-47)
     parser.add_argument("--attack", type=str, choices=["CW", "Qin-I", "Kenansville", "FAKEBOB", "SirenAttack"], default="CW")
+    # black-box budget overrides (0 = reference defaults: FAKEBOB 200x200,
+    # SirenAttack 300x30x25) — scaled-down runs against heavy defended
+    # chains record the scaling in their artifact
+    parser.add_argument("--bb_max_iter", type=int, default=0)
+    parser.add_argument("--bb_samples_per_draw", type=int, default=0)
+    parser.add_argument("--bb_max_epoch", type=int, default=0)
+    parser.add_argument("--bb_n_particles", type=int, default=0)
     parser.add_argument("--kenan_variant", type=str, choices=["ssa", "fft"], default="ssa",
         help="Kenansville variant (reference eval uses ssa; fft is batched "
              "and supports --fused_loop)")

@@ -36,6 +36,8 @@ def build_parser():
             p.add_argument(f"--{k}", default=v, type=lambda s: s.lower() in ("1", "true", "yes"))
         else:
             p.add_argument(f"--{k}", default=v, type=type(v))
+    p.add_argument("--no_pallas_attention", action="store_true",
+                   help="opt out of the fused Pallas attention kernel (TPU-only default on)")
     return p
 
 
@@ -79,9 +81,10 @@ def main(argv=None):
         attention_resolutions=args.attention_resolutions, dropout=args.dropout,
         num_heads=args.num_heads, num_heads_upsample=args.num_heads_upsample,
         use_scale_shift_norm=args.use_scale_shift_norm,
-        # fused Pallas attention on TPU (perf/lab22); per-block shape guard
-        # in AttentionBlock means non-production widths just fall back
-        use_pallas_attention=jax.default_backend() != "cpu",
+        # fused Pallas attention on TPU only (the kernel uses
+        # pltpu.CompilerParams — ADVICE r4); per-block shape guard in
+        # AttentionBlock means non-production widths just fall back
+        use_pallas_attention=jax.default_backend() == "tpu" and not args.no_pallas_attention,
     )
     diffusion = create_gaussian_diffusion(
         steps=args.diffusion_steps, learn_sigma=args.learn_sigma, sigma_small=args.sigma_small,

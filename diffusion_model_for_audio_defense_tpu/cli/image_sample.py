@@ -42,7 +42,15 @@ def build_parser():
             p.add_argument(f"--{k}", default=v, type=lambda s: s.lower() in ("1", "true", "yes"))
         else:
             p.add_argument(f"--{k}", default=v, type=type(v))
+    p.add_argument("--no_pallas_attention", action="store_true",
+                   help="opt out of the fused Pallas attention kernel (TPU-only default on)")
     return p
+
+
+def _pattn(args) -> bool:
+    """Fused Pallas attention gate: TPU backend only (the kernel uses
+    pltpu.CompilerParams — ADVICE r4), opt-out via --no_pallas_attention."""
+    return jax.default_backend() == "tpu" and not args.no_pallas_attention
 
 
 def _load_variables(path, model, example_args):
@@ -87,7 +95,7 @@ def sample_plain(args, log=print):
         use_scale_shift_norm=args.use_scale_shift_norm,
         # fused Pallas attention on TPU (perf/lab22); per-block shape guard
         # in AttentionBlock means non-production widths just fall back
-        use_pallas_attention=jax.default_backend() != "cpu",
+        use_pallas_attention=_pattn(args),
     )
     diffusion = create_gaussian_diffusion(
         steps=args.diffusion_steps, learn_sigma=args.learn_sigma, sigma_small=args.sigma_small,

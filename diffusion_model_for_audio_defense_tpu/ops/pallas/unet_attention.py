@@ -28,7 +28,13 @@ Layout notes (v5e):
 - Scores are (T, T) f32 in VMEM (256 KB at T=256) — never touch HBM.
 - Matmuls accumulate f32 via ``preferred_element_type``; the softmax
   matches the reference's f32 softmax, and ``w`` is cast back to the
-  compute dtype before ``w·v`` exactly like the einsum path.
+  compute dtype before ``w·v`` like the einsum path. One deliberate
+  deviation: the scores matmul here takes q/k as *f32* operands (the
+  in-register head slices are cast before scaling), while the einsum path
+  multiplies compute-dtype operands with f32 accumulation — under bf16 the
+  outputs differ by ~2.5e-3 (measured, perf/lab22). The custom VJP
+  recomputes through the einsum path, so the gradient is that of the
+  (bit-close) einsum forward, not of the kernel.
 
 Gradients: ``fused_qkv_attention`` carries a ``jax.custom_vjp`` whose
 backward recomputes through the differentiable einsum path
@@ -92,12 +98,16 @@ def supports(T: int, C: int, num_heads: int) -> bool:
     """Shapes the TPU kernel handles: lane-aligned head slices, ≥8 sublanes.
 
     Production spec UNet attention is (T, d) ∈ {(256, 64), (64, 64)} — both
-    pass. Tiny test configs (d < 64) fall back to the einsum path.
+    pass. Only the *verified* head widths are admitted: d == 64 (measured,
+    perf/lab22) and d % 128 == 0 (slice lane offsets 128-aligned). Shapes
+    like d = 192 would have unaligned in-register slice offsets Mosaic may
+    reject at compile time instead of falling back (ADVICE r4). Everything
+    else uses the einsum path.
     """
     if C % num_heads:
         return False
     d = C // num_heads
-    return d % 64 == 0 and T % 8 == 0
+    return (d == 64 or d % 128 == 0) and T % 8 == 0
 
 
 def _batch_tile(B: int, cap: int = 8) -> int:
@@ -134,8 +144,9 @@ def _fused_fwd_impl(qkv: jnp.ndarray, num_heads: int, interpret: bool) -> jnp.nd
 def fused_qkv_attention(qkv: jnp.ndarray, num_heads: int, interpret: bool = False):
     """Fused attention: (B, T, 3C) qkv → (B, T, C), scores VMEM-resident.
 
-    Numerics match ``attention_core`` (f32 softmax, compute-dtype matmul
-    operands, f32 accumulation). Backward = einsum-path recompute.
+    Numerics track ``attention_core`` to ~2.5e-3 under bf16 (the scores
+    matmul takes f32 operands here — see module docstring). Backward =
+    einsum-path recompute, i.e. the gradient of the einsum forward.
     """
     return _fused_fwd_impl(qkv, num_heads, interpret)
 

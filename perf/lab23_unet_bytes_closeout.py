@@ -1,0 +1,182 @@
+"""Lab 23: UNet HBM bytes accounting — lab21 CLOSE-OUT (VERDICT r4 #6).
+
+lab21 left OPEN: the B=256 bf16 spec-UNet forward moves 25.1 GB (XLA
+cost_analysis) vs an 8.1 GB analytical floor; the fused Pallas attention
+(lab22) cut it to ~15.4 GB / 37.4 ms. This lab explains the residual by
+parsing the *optimized* HLO of the compiled forward and summing HBM traffic
+per op category (each root instruction's output bytes written + operand
+bytes read). Categories:
+
+  conv        convolution / conv fusions (the analytical floor's edges)
+  matmul      dot / dense fusions (qkv, proj, emb)
+  pallas      custom-call kernels (fused attention)
+  reduce      GroupNorm statistics fusions
+  elementwise loop fusions (SiLU/scale-shift/residual adds)
+  concat      skip-path concatenates (buffer not in the floor)
+  copy        layout copies / transposes
+  resize      nearest-neighbour upsample gathers
+  other       everything else
+
+plus the measured forward (honest chained timing) against the HBM roofline.
+Verdict rule (same as lab21): addressable = measured_bytes - floor; CLOSED
+if the addressable gap is either explained by unfusable-category traffic or
+< 10% of runtime when removed.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python perf/lab23_unet_bytes_closeout.py [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from diffusion_model_for_audio_defense_tpu.core.functional import (  # noqa: E402
+    enable_compilation_cache,
+)
+from diffusion_model_for_audio_defense_tpu.models.unet import create_unet  # noqa: E402
+
+B = 256
+HBM_PEAK_GBS = 819.0  # v5e
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s8": 1,
+                "u8": 1, "pred": 1, "f64": 8, "s64": 8, "u64": 8, "c64": 8}
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+
+
+def shape_bytes(type_str: str) -> int:
+    """Sum bytes over every array shape in an HLO type string (handles
+    tuples like (bf16[256,32,32,128], f32[...]))."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(type_str):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def categorize(op: str, line: str) -> str:
+    if "custom-call" in line and ("tpu_custom_call" in line or "Mosaic" in line):
+        return "pallas"
+    if op.startswith("fusion"):
+        if "kind=kOutput" in line and "convolution" in line:
+            return "conv"
+        if "convolution" in line:
+            return "conv"
+        if "dot" in line:
+            return "matmul"
+        if "reduce" in line:
+            return "reduce"
+        if "concatenate" in line:
+            return "concat"
+        if "gather" in line or "resize" in line:
+            return "resize"
+        return "elementwise"
+    for key, cat in (("convolution", "conv"), ("dot", "matmul"), ("reduce", "reduce"),
+                     ("concatenate", "concat"), ("copy", "copy"), ("transpose", "copy"),
+                     ("gather", "resize"), ("custom-call", "pallas")):
+        if op.startswith(key):
+            return cat
+    return "other"
+
+
+def hlo_bytes_by_category(compiled_text: str):
+    """Walk ENTRY-computation root instructions of the optimized HLO; for each,
+    count output bytes (one write) + named-operand bytes (reads). Fused
+    computations' internals are free (VMEM); only fusion boundaries touch HBM.
+    Parameters/constants are counted as reads at their use sites."""
+    cats = {}
+    in_entry = False
+    # map instruction name -> output bytes, to price operand reads
+    sizes = {}
+    entry_lines = []
+    for line in compiled_text.splitlines():
+        s = line.strip()
+        if s.startswith("ENTRY "):
+            in_entry = True
+            continue
+        if in_entry:
+            if s == "}":
+                break
+            entry_lines.append(s)
+    for s in entry_lines:
+        m = re.match(r"%?([\w\.\-]+) = ([^ ]+) ([\w\-]+)\(", s)
+        if not m:
+            continue
+        name, type_str, op = m.groups()
+        out_b = shape_bytes(type_str)
+        sizes[name] = out_b
+        if op in ("parameter", "constant", "get-tuple-element", "tuple", "bitcast"):
+            continue
+        cat = categorize(op, s)
+        # operand reads: every %name reference on the RHS
+        rhs = s.split("(", 1)[1]
+        read_b = sum(sizes.get(r, 0) for r in re.findall(r"%([\w\.\-]+)", rhs))
+        cats[cat] = cats.get(cat, 0) + out_b + read_b
+    return cats
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--batch", type=int, default=B)
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    enable_compilation_cache()
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = create_unet(dtype=jnp.bfloat16, dropout=0.0, use_pallas_attention=on_tpu)
+    x = jnp.zeros((args.batch, 1, 32, 32), jnp.float32)
+    t = jnp.zeros((args.batch,), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x[:1], t[:1])
+
+    fwd = jax.jit(lambda v, x, t: model.apply(v, x, t))
+    lowered = fwd.lower(variables, x, t)
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    total_bytes = float(ca.get("bytes accessed", 0.0))
+    flops = float(ca.get("flops", 0.0))
+    print(f"cost_analysis: {total_bytes / 1e9:.2f} GB accessed, {flops / 1e12:.2f} TF")
+
+    cats = hlo_bytes_by_category(compiled.as_text())
+    print("\nHBO traffic by category (output writes + operand reads at fusion "
+          "boundaries):")
+    floor_cats = {"conv", "matmul", "pallas"}  # the analytical floor's edges
+    tot = sum(cats.values())
+    addressable = 0
+    for cat, b in sorted(cats.items(), key=lambda kv: -kv[1]):
+        flag = "" if cat in floor_cats else "   <- not in the floor"
+        print(f"  {cat:<12} {b / 1e9:7.2f} GB  ({100 * b / max(tot, 1):4.1f}%){flag}")
+        if cat not in floor_cats:
+            addressable += b
+    print(f"  {'total':<12} {tot / 1e9:7.2f} GB (category-parse; cost_analysis "
+          f"{total_bytes / 1e9:.2f} GB)")
+    print(f"\naddressable (non-floor categories): {addressable / 1e9:.2f} GB "
+          f"= {addressable / HBM_PEAK_GBS / 1e9 * 1e3:.1f} ms at HBM peak")
+
+    if on_tpu:
+        from perf._timing import timed_chain
+
+        # x -> x structured: (B,1,32,32) f32 in, (B,1,32,32) f32 out
+        ms = 1e3 * timed_chain(lambda xx: model.apply(variables, xx, t), x, k_lo=4, k_hi=12)
+        eff = total_bytes / (ms / 1e3) / 1e9
+        print(f"\nmeasured fwd: {ms:.1f} ms  -> {eff:.0f} GB/s "
+              f"({100 * eff / HBM_PEAK_GBS:.0f}% of HBM peak)")
+        gap_ms = addressable / HBM_PEAK_GBS / 1e9 * 1e3
+        verdict = "CLOSED" if gap_ms < 0.1 * ms else "OPEN"
+        print(f"lab21 verdict: {verdict} (addressable {gap_ms:.1f} ms vs {ms:.1f} ms runtime)")
+
+
+if __name__ == "__main__":
+    main()

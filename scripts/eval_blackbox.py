@@ -1,0 +1,133 @@
+"""Black-box attacks vs the flagship system, with TRAINED weights.
+
+FAKEBOB (NES), SirenAttack (PSO) and Kenansville-fft rebuilt drivers were
+unit-tested but had zero artifacts against trained purifier+classifier
+weights (VERDICT r4 missing #4). This script drives all three through
+``cli/adaptive_attack_eval.py`` against the flagship stack
+(DiffWave -> mel32 -> ResNeXt29), undefended vs Diffusion-defended (t*=3),
+using the fused device-resident loops.
+
+Budgets (recorded per row):
+- FAKEBOB: the full reference budget (200 iters x 200 draws/iter,
+  ``adaptive_attack_eval.py:209-218``) on both arms; the defended arm runs
+  fewer utterances because each NES draw-batch is ~3 WaveNet forwards at
+  B=200.
+- SirenAttack: scaled from the reference 300 epochs x 30 iters x 25
+  particles to 30 x 15 x 25 (the defended chain costs ~250 ms per 25-particle
+  forward; the full budget is ~9,000 PSO iterations per utterance).
+- Kenansville-fft: the reference budget (30-iteration binary search).
+
+-> artifacts/real_blackbox/summary.json
+
+Run on the TPU AFTER the train pipelines:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/eval_blackbox.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DW_DIR = os.path.join(REPO, "artifacts", "real_diffwave")
+DW_FINAL = os.path.join(DW_DIR, "diffwave_final")
+DW_CONFIG = os.path.join(DW_DIR, "config.json")
+TEST_DIR = os.path.join(DW_DIR, "synth_sc09_test")
+CLF_EVAL = os.path.join(REPO, "artifacts", "real_spec", "resnext_synth_eval")
+OUT = os.path.join(REPO, "artifacts", "real_blackbox")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--utts_cheap", type=int, default=10, help="utterances for cheap arms")
+    ap.add_argument("--utts_heavy", type=int, default=5, help="utterances for defended NES/PSO arms")
+    ap.add_argument("--fakebob_iters", type=int, default=200)
+    ap.add_argument("--fakebob_draws", type=int, default=200)
+    ap.add_argument("--siren_epochs", type=int, default=30)
+    ap.add_argument("--siren_iters", type=int, default=15)
+    ap.add_argument("--skip", type=str, default="", help="comma list of attacks to skip")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from diffusion_model_for_audio_defense_tpu.cli import adaptive_attack_eval
+    from diffusion_model_for_audio_defense_tpu.core.functional import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+    os.makedirs(OUT, exist_ok=True)
+    skip = set(s for s in args.skip.split(",") if s)
+
+    def run(attack, n_utts, defended, extra=()):
+        argv = ["--data_path", TEST_DIR, "--classifier_model", "resnext29_8_64",
+                "--classifier_path", CLF_EVAL, "--attack", attack,
+                "--batch_size", str(n_utts), "--max_batches", "1",
+                "--num_per_class", "1", "--seed", "0", "--fused_loop", *extra]
+        if defended:
+            argv += ["--defense", "Diffusion", "--diffusion_type", "ddpm", "--t", "3",
+                     "--ddpm_path", DW_FINAL, "--ddpm_config", DW_CONFIG, "--bf16"]
+        else:
+            argv += ["--defense", "None"]
+        arm = "defended_diffusion_t3" if defended else "undefended"
+        print(f"\n=== {attack} {arm} ({n_utts} utts) ===")
+        return adaptive_attack_eval.main(argv)
+
+    summary = {"config": {
+        "system": "DiffWave -> mel32 -> ResNeXt29 8x64 (flagship), trained weights",
+        "task": "synth_speech v2 (hardened)",
+        "match": "reference robustness_eval/black_box_attack.py:186,545,634",
+    }}
+    spath = os.path.join(OUT, "summary.json")
+
+    def flush():
+        with open(spath, "w") as f:
+            json.dump(summary, f, indent=2)
+
+    if "fakebob" not in skip:
+        fb = ["--bb_max_iter", str(args.fakebob_iters),
+              "--bb_samples_per_draw", str(args.fakebob_draws)]
+        summary["fakebob"] = {
+            "budget": f"{args.fakebob_iters} iters x {args.fakebob_draws} draws "
+                      f"(reference budget is 200x200)",
+            "undefended": run("FAKEBOB", args.utts_cheap, False, fb),
+        }
+        flush()
+        summary["fakebob"]["defended_diffusion_t3"] = run("FAKEBOB", args.utts_heavy, True, fb)
+        flush()
+
+    if "siren" not in skip:
+        sa = ["--bb_max_epoch", str(args.siren_epochs), "--bb_max_iter", str(args.siren_iters)]
+        summary["siren_attack"] = {
+            "budget": f"{args.siren_epochs} epochs x {args.siren_iters} iters x 25 particles "
+                      f"(scaled down from the reference 300x30x25; scaling stated per VERDICT r4 #4)",
+            "undefended": run("SirenAttack", args.utts_heavy, False, sa),
+        }
+        flush()
+        summary["siren_attack"]["defended_diffusion_t3"] = run("SirenAttack", args.utts_heavy, True, sa)
+        flush()
+
+    if "kenan" not in skip:
+        kv = ["--kenan_variant", "fft"]
+        summary["kenansville_fft"] = {
+            "budget": "30-iteration binary search (reference budget)",
+            "undefended": run("Kenansville", args.utts_cheap, False, kv),
+        }
+        flush()
+        summary["kenansville_fft"]["defended_diffusion_t3"] = run(
+            "Kenansville", args.utts_cheap, True, kv)
+        flush()
+
+    print("\nsummary ->", spath)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

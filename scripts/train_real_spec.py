@@ -35,27 +35,35 @@ TEST_DIR = os.path.join(REPO, "artifacts", "real_diffwave", "synth_sc09_test")
 # the SAME CLI seams — the attack CLI rebuilds the UNet geometry from the
 # checkpoint itself (models.unet.infer_unet_kwargs).
 PRESETS = {
-    # production: the exact reference recipe, needs the TPU
-    "prod": dict(out="real_spec", unet={}, unet_steps=8000, unet_batch=128,
+    # production: the exact reference recipe, needs the TPU. Round-5 fixes
+    # vs the failed r4 artifact (VERDICT r4 weak #1): (a) standardize bounds
+    # derived from the actual corpus (--mel_bounds auto; the synthetic mel
+    # occupied only a 0.2-sigma sub-interval of [-1,1] under the reference
+    # SC09 bounds, so training and purification both ran off-distribution);
+    # (b) 4x the training budget (8k -> 30k steps; reference ckpt is 84k at
+    # bs 230 — spect_train_mpi_run.sh); (c) a t* sweep to pick the operating
+    # point; (d) a strong-attack row that actually breaks the undefended model.
+    "prod": dict(out="real_spec", unet={}, unet_steps=30000, unet_batch=128,
                  n_train_per_class=200, clf_epochs=20, clf_bpe=20, clf_batch=64,
-                 attack_iters=30, eval_n=100, t_stars=(3, 10), num_per_class=5,
-                 assert_acc=True),
+                 attack_iters=30, eval_n=100, t_stars=(2, 3, 5, 10, 25), num_per_class=5,
+                 assert_acc=True, mel_bounds="auto", strong_eps=2000, strong_iters=100),
     # single-host-core-feasible reduction (nproc=1 here): a real-weights
     # hedge artifact for when the TPU tunnel is down
     "cpu": dict(out="real_spec_cpu", unet={"num_channels": 32, "num_res_blocks": 1},
                 unet_steps=400, unet_batch=8,
                 n_train_per_class=80, clf_epochs=6, clf_bpe=6, clf_batch=24,
-                attack_iters=10, eval_n=50, t_stars=(3,), num_per_class=2,
-                assert_acc=True),
+                attack_iters=10, eval_n=50, t_stars=(3, 10), num_per_class=2,
+                assert_acc=True, mel_bounds="auto", strong_eps=2000, strong_iters=20),
     # minutes-scale end-to-end pipeline validation (artifact is meaningless)
     "smoke": dict(out="real_spec_smoke", unet={"num_channels": 32, "num_res_blocks": 1},
                   unet_steps=6, unet_batch=8,
                   n_train_per_class=8, clf_epochs=2, clf_bpe=4, clf_batch=16,
                   attack_iters=2, eval_n=20, t_stars=(3,), num_per_class=1,
-                  assert_acc=False),
+                  assert_acc=False, mel_bounds="auto", strong_eps=None, strong_iters=0),
 }
 CFG = PRESETS["prod"]
 UNET_ARGS = ["--diffusion_steps", "200", "--lr", "1e-4"]
+TASK_DESC = "synth_speech v2 (hardened: f0 overlap, distractor stacks, 10-25dB SNR noise)"
 
 OUT = TRAIN_DIR = CKPT_DIR = CLF_DIR = CLF_EVAL = UNET_FINAL = None
 
@@ -75,21 +83,34 @@ _set_out(CFG["out"])
 
 
 def stage_data(n_train_per_class: int = 200):
+    import shutil
+
     from diffusion_model_for_audio_defense_tpu.data.synth_speech import write_dataset
 
+    # always regenerate (stale sets from an older task version must never
+    # leak into a fresh artifact — task v2 replaced v1 in round 5)
+    for d in (TRAIN_DIR, TEST_DIR):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
     write_dataset(TRAIN_DIR, n_per_class=n_train_per_class, seed=11)
     print("train wavs ->", TRAIN_DIR)
-    if not os.path.isdir(TEST_DIR):
-        write_dataset(TEST_DIR, n_per_class=10, seed=1234)
+    write_dataset(TEST_DIR, n_per_class=10, seed=1234)
     print("test wavs ->", TEST_DIR)
 
 
 def stage_unet(steps: int = 8000, batch: int = 128):
+    import shutil
+
     from diffusion_model_for_audio_defense_tpu.cli import spectrogram_train
 
+    # fresh run: TrainLoop auto-resumes from save_dir, and checkpoints from
+    # an older task version / standardize bounds must not leak in
+    if os.path.isdir(CKPT_DIR):
+        shutil.rmtree(CKPT_DIR)
     spectrogram_train.main([
         "--data_dir", TRAIN_DIR, "--batch_size", str(batch), "--max_steps", str(steps),
         "--save_interval", str(min(2000, steps)), "--save_dir", CKPT_DIR, *UNET_ARGS,
+        "--mel_bounds", CFG.get("mel_bounds", "ref"),
         *sum((["--" + k, str(v)] for k, v in CFG["unet"].items()), []),
     ])
     # the freshest EMA sweep is the eval checkpoint (reference uses the EMA
@@ -98,8 +119,18 @@ def stage_unet(steps: int = 8000, batch: int = 128):
     assert emas, f"no EMA checkpoints in {CKPT_DIR}"
     src = os.path.join(CKPT_DIR, emas[-1])
     from diffusion_model_for_audio_defense_tpu.core.checkpoint import load_pytree, save_pytree
+    from diffusion_model_for_audio_defense_tpu.purify.spec import (
+        REF_MEL_BOUNDS,
+        load_mel_bounds,
+        save_mel_bounds,
+    )
 
     save_pytree(UNET_FINAL, load_pytree(src))
+    # the standardize bounds travel with the exported checkpoint (sidecar)
+    bounds = load_mel_bounds(src)
+    if tuple(bounds) != REF_MEL_BOUNDS:
+        save_mel_bounds(UNET_FINAL, bounds)
+        print(f"unet: mel bounds sidecar {bounds} -> {UNET_FINAL}.mel_bounds.json")
     print(f"unet: exported {src} -> {UNET_FINAL}")
 
 
@@ -141,7 +172,8 @@ def stage_classifier(epochs: int = 20, batches_per_epoch: int = 20, batch: int =
         tr.maybe_checkpoint(vloss, vacc, "resnext_synth")
     print(f"classifier: best valid acc {tr.best_acc:.4f}")
     if CFG["assert_acc"]:
-        assert tr.best_acc > 0.9, "spec classifier failed to learn the synthetic task"
+        # v2 task has a ~5% Bayes floor (f0 band overlap) + distractors
+        assert tr.best_acc > 0.8, "spec classifier failed to learn the synthetic task"
     best = load_pytree(os.path.join(CLF_DIR, "resnext_synth-best-acc"))
     save_pytree(CLF_EVAL, {"params": best["params"], "batch_stats": best["batch_stats"]})
     print("eval classifier ->", CLF_EVAL)
@@ -165,11 +197,17 @@ def stage_eval(attack_iters: int = 30):
         melspec_standardize,
     )
 
+    from diffusion_model_for_audio_defense_tpu.purify.spec import load_mel_bounds
+
+    mel_bounds = load_mel_bounds(UNET_FINAL)
     unet_desc = ("128ch/3RB dropout0.3 (exact reference recipe)" if not CFG["unet"]
                  else "{num_channels}ch/{num_res_blocks}RB reduced".format(**CFG["unet"]))
     summary = {"config": {"unet": unet_desc,
                           "classifier": "resnext29_8_64 on mel32",
-                          "schedule": "linear T=200"}}
+                          "schedule": "linear T=200",
+                          "unet_steps": CFG["unet_steps"],
+                          "mel_bounds": list(mel_bounds),
+                          "task": TASK_DESC}}
     unet_vars = load_pytree(UNET_FINAL)
     # geometry from the checkpoint itself, same seam the attack CLI uses
     from diffusion_model_for_audio_defense_tpu.models.unet import infer_unet_kwargs
@@ -197,12 +235,12 @@ def stage_eval(attack_iters: int = 30):
         key, k1, k2 = jax.random.split(key, 3)
 
         def noisy_and_denoised(spec, k1, k2, t_star=t_star):
-            std = melspec_standardize(spec)
+            std = melspec_standardize(spec, mel_bounds)
             bsz = std.shape[0]
             noise = jax.random.normal(k1, std.shape, dtype=std.dtype)
             x_t = d.q_sample(std, jnp.full((bsz,), t_star - 1), noise)
             den = d.p_sample_loop(model_fn, rng=k2, x_t=x_t, t_start=t_star)
-            return melspec_inv_standardize(x_t), melspec_inv_standardize(den)
+            return melspec_inv_standardize(x_t, mel_bounds), melspec_inv_standardize(den, mel_bounds)
 
         noisy, den = jit_hoisted(noisy_and_denoised)(spec, k1, k2)
         denoise[f"t_star={t_star}"] = {
@@ -211,25 +249,42 @@ def stage_eval(attack_iters: int = 30):
         print(f"t*={t_star}: {denoise[f't_star={t_star}']}")
     summary["denoise_sanity"] = denoise
 
+    # operating point for the attack rows: the t* with the best noise
+    # recovery (denoised - noisy), preferring larger recovery margins
+    def _margin(ts):
+        r = denoise[f"t_star={ts}"]
+        return r["denoised_acc"] - r["noisy_acc"]
+
+    attack_t = max(CFG["t_stars"], key=_margin)
+    summary["attack_t_star"] = {"chosen": int(attack_t), "by": "max denoised-noisy margin"}
+    print(f"attack t* = {attack_t} (margin {_margin(attack_t):+.3f})")
+
     # ---- (b) adaptive CW attack: undefended vs Diffusion-Spec -------------
     from diffusion_model_for_audio_defense_tpu.cli import adaptive_attack_eval
 
-    common = ["--data_path", TEST_DIR, "--classifier_model", "resnext29_8_64",
-              "--classifier_path", CLF_EVAL, "--attack", "CW",
-              "--bound_norm", "linf", "--eps", "65",
-              "--max_iter_1", str(attack_iters), "--batch_size", "25",
-              "--num_per_class", str(CFG["num_per_class"]), "--seed", "0"]
-    print("\n=== attack: undefended ===")
-    res_none = adaptive_attack_eval.main(common + ["--defense", "None"])
-    print("\n=== attack: Diffusion-Spec (t*=3) ===")
-    res_spec = adaptive_attack_eval.main(
-        common + ["--defense", "Diffusion-Spec", "--t", "3",
-                  "--ddpm_path", UNET_FINAL])
-    summary["attack_cw_linf_eps65"] = {
-        "max_iter_1": attack_iters,
-        "undefended": res_none,
-        "defended_diffusion_spec_t3": res_spec,
-    }
+    def run_cw(eps: int, iters: int):
+        common = ["--data_path", TEST_DIR, "--classifier_model", "resnext29_8_64",
+                  "--classifier_path", CLF_EVAL, "--attack", "CW",
+                  "--bound_norm", "linf", "--eps", str(eps),
+                  "--max_iter_1", str(iters), "--batch_size", "25",
+                  "--num_per_class", str(CFG["num_per_class"]), "--seed", "0"]
+        print(f"\n=== attack eps={eps} iters={iters}: undefended ===")
+        res_none = adaptive_attack_eval.main(common + ["--defense", "None"])
+        print(f"\n=== attack eps={eps} iters={iters}: Diffusion-Spec (t*={attack_t}) ===")
+        res_spec = adaptive_attack_eval.main(
+            common + ["--defense", "Diffusion-Spec", "--t", str(attack_t),
+                      "--ddpm_path", UNET_FINAL])
+        rec = {"eps_int16": eps, "eps_float": eps / 32768.0, "max_iter_1": iters,
+               "undefended": res_none,
+               f"defended_diffusion_spec_t{attack_t}": res_spec}
+        if res_none["robust_acc"] >= 0.95:
+            rec["note"] = "budget too small for this task: attack breaks (almost) nothing undefended"
+        return rec
+
+    summary["attack_cw_linf_eps65"] = run_cw(65, attack_iters)
+    if CFG.get("strong_eps"):
+        summary[f"attack_cw_linf_eps{CFG['strong_eps']}_strong"] = run_cw(
+            CFG["strong_eps"], CFG["strong_iters"])
 
     with open(os.path.join(OUT, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

