@@ -125,11 +125,11 @@ def hlo_bytes_by_category(compiled_text: str):
     return cats
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--batch", type=int, default=B)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     enable_compilation_cache()
@@ -166,7 +166,7 @@ def main():
           f"= {addressable / HBM_PEAK_GBS / 1e9 * 1e3:.1f} ms at HBM peak")
 
     if on_tpu:
-        from perf._timing import timed_chain
+        from perf._timing import timed_chain  # namespace pkg; cwd = repo root
 
         # x -> x structured: (B,1,32,32) f32 in, (B,1,32,32) f32 out
         ms = 1e3 * timed_chain(lambda xx: model.apply(variables, xx, t), x, k_lo=4, k_hi=12)

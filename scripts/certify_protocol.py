@@ -66,7 +66,16 @@ def main(argv=None):
 
     enable_compilation_cache()
     os.makedirs(OUT, exist_ok=True)
-    plan = [(float(s.split(":")[0]), int(s.split(":")[1])) for s in args.utts.split(",")]
+    # a queued invocation's --utts is frozen at queue-launch time; the
+    # override file lets the operator retune the plan to the remaining
+    # window right before this step starts (recorded in the summary)
+    utts = args.utts
+    override = os.path.join(OUT, "utts_override.txt")
+    if os.path.isfile(override):
+        with open(override) as f:
+            utts = f.read().strip()
+        print(f"[info] utterance plan overridden by {override}: {utts}")
+    plan = [(float(s.split(":")[0]), int(s.split(":")[1])) for s in utts.split(",")]
 
     summary = {"protocol": {
         "num_sampling": args.num_sampling, "n0": args.n0, "alpha": args.alpha,
@@ -75,6 +84,7 @@ def main(argv=None):
         "victim": "DiffWave denoiser -> mel32 -> ResNeXt29 8x64 (vanilla-trained; "
                   "denoised smoothing — the reference loads gaussian-augmented "
                   "classifiers, see module docstring)",
+        "utterance_plan": utts,
     }, "per_sigma": {}}
     spath = os.path.join(OUT, "summary.json")
 

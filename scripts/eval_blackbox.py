@@ -44,10 +44,10 @@ OUT = os.path.join(REPO, "artifacts", "real_blackbox")
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--utts_cheap", type=int, default=10, help="utterances for cheap arms")
-    ap.add_argument("--utts_heavy", type=int, default=5, help="utterances for defended NES/PSO arms")
-    ap.add_argument("--fakebob_iters", type=int, default=200)
+    ap.add_argument("--utts_heavy", type=int, default=4, help="utterances for defended NES/PSO arms")
+    ap.add_argument("--fakebob_iters", type=int, default=100)
     ap.add_argument("--fakebob_draws", type=int, default=200)
-    ap.add_argument("--siren_epochs", type=int, default=30)
+    ap.add_argument("--siren_epochs", type=int, default=20)
     ap.add_argument("--siren_iters", type=int, default=15)
     ap.add_argument("--skip", type=str, default="", help="comma list of attacks to skip")
     ap.add_argument("--cpu", action="store_true")
@@ -96,7 +96,8 @@ def main(argv=None):
               "--bb_samples_per_draw", str(args.fakebob_draws)]
         summary["fakebob"] = {
             "budget": f"{args.fakebob_iters} iters x {args.fakebob_draws} draws "
-                      f"(reference budget is 200x200)",
+                      f"(reference budget is 200x200; scaled iters stated per VERDICT r4 #4 — "
+                      f"early-stop usually converges well before 100)",
             "undefended": run("FAKEBOB", args.utts_cheap, False, fb),
         }
         flush()

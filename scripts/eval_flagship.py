@@ -51,6 +51,7 @@ def main(argv=None):
     ap.add_argument("--certify_n", type=int, default=2000)
     ap.add_argument("--num_per_class", type=int, default=5)
     ap.add_argument("--skip_certify", action="store_true")
+    ap.add_argument("--skip_lab23", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -193,6 +194,18 @@ def main(argv=None):
         json.dump(summary, f, indent=2)
     print("\nsummary ->", os.path.join(OUT, "summary.json"))
     print(json.dumps(summary, indent=2))
+
+    # lab21 close-out (VERDICT r4 #6) piggybacks here: same process = same
+    # axon client (a separate queue step would be a second client — the
+    # tunnel admits one), and the UNet fwd compile is already cached.
+    if jax.default_backend() == "tpu" and not args.skip_lab23:
+        print("\n=== lab23: UNet HBM bytes close-out ===")
+        try:
+            from perf.lab23_unet_bytes_closeout import main as lab23_main
+
+            lab23_main([])
+        except Exception as e:  # the flagship artifact must not die on a perf lab
+            print(f"[warn] lab23 failed: {e}")
 
 
 if __name__ == "__main__":

@@ -44,9 +44,9 @@ OUT = os.path.join(REPO, "artifacts", "real_qin")
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--eps", type=int, default=2000)
-    ap.add_argument("--max_iter_1", type=int, default=100)
-    ap.add_argument("--max_iter_2", type=int, default=500)
-    ap.add_argument("--n_utts", type=int, default=10)
+    ap.add_argument("--max_iter_1", type=int, default=60)
+    ap.add_argument("--max_iter_2", type=int, default=300)
+    ap.add_argument("--n_utts", type=int, default=8)
     ap.add_argument("--fused", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)

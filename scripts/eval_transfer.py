@@ -46,11 +46,11 @@ FT_DIR = os.path.join(OUT, "advft")
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--stage", choices=["all", "steal", "transfer", "finetune"], default="all")
-    ap.add_argument("--steal_epochs", type=int, default=10)
+    ap.add_argument("--steal_epochs", type=int, default=8)
     ap.add_argument("--eps", type=int, default=2000)
     ap.add_argument("--attack_iters", type=int, default=30)
-    ap.add_argument("--ft_epochs", type=int, default=3)
-    ap.add_argument("--num_per_class", type=int, default=5)
+    ap.add_argument("--ft_epochs", type=int, default=2)
+    ap.add_argument("--num_per_class", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:

@@ -41,11 +41,11 @@ DW_CONFIG = os.path.join(DW_DIR, "config.json")
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--stage", choices=["all", "data", "train", "eval"], default="all")
-    ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--attack_iters", type=int, default=30)
     ap.add_argument("--strong_eps", type=int, default=2000)
-    ap.add_argument("--strong_iters", type=int, default=100)
-    ap.add_argument("--eval_batches", type=int, default=8)
+    ap.add_argument("--strong_iters", type=int, default=60)
+    ap.add_argument("--eval_batches", type=int, default=4)
     ap.add_argument("--eval_batch_size", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--smoke", action="store_true", help="minutes-scale pipeline validation")
