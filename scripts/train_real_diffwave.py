@@ -213,12 +213,14 @@ def stage_classifier(cfg, P: Paths, batches_per_epoch: int = 20, batch: int = 64
     print("eval classifier ->", P.CLF_EVAL)
 
 
-def stage_diffwave(cfg, P: Paths):
+def stage_diffwave(cfg, P: Paths, resume: bool = False, iters_per_ckpt: int = 5000):
     import shutil
 
     # fresh run: DiffWaveTrainer auto-resumes from output_directory, and
-    # checkpoints from an older task version must not leak in
-    if os.path.isdir(P.DW_DIR):
+    # checkpoints from an older task version must not leak in. --resume
+    # keeps them — the recovery path after an axon-tunnel wedge kills a
+    # same-config run mid-train (CLAUDE.md: wedged client = 0% CPU, sleeping).
+    if os.path.isdir(P.DW_DIR) and not resume:
         shutil.rmtree(P.DW_DIR)
 
     from diffusion_model_for_audio_defense_tpu.core import linear_schedule
@@ -231,10 +233,14 @@ def stage_diffwave(cfg, P: Paths):
     model = _build_wavenet(cfg)
     trainer = DiffWaveTrainer(
         model, linear_schedule(200), learning_rate=2e-4, output_directory=P.DW_DIR,
-        iters_per_ckpt=5000, iters_per_logging=200, use_pallas=_pallas_ok(cfg),
+        iters_per_ckpt=iters_per_ckpt, iters_per_logging=200, use_pallas=_pallas_ok(cfg),
     )
+    # DiffWaveTrainer.train's max_iters is "additional iters this call"
+    # (train/diffwave.py:265); the preset value is a TOTAL budget, so pass
+    # the remaining delta — a resumed-at-target run trains 0 steps and
+    # just re-exports.
     trainer.train(waveform_batches(seed=0, batch_size=cfg["batch"]),
-                  max_iters=cfg["diffwave_iters"])
+                  max_iters=max(0, cfg["diffwave_iters"] - trainer.n_iter))
     trainer.save_checkpoint()
     save_pytree(P.DW_FINAL, trainer.params)  # clean params-only ckpt for CLIs
     print(f"diffwave: {trainer.n_iter} iters -> {P.DW_FINAL}")
@@ -382,6 +388,10 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (axon pins JAX_PLATFORMS; this "
                          "uses jax.config, which still works — CLAUDE.md)")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep existing diffwave checkpoints and resume training "
+                         "(wedge recovery); default wipes them for a fresh run")
+    ap.add_argument("--iters_per_ckpt", type=int, default=5000)
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -405,7 +415,7 @@ def main(argv=None):
     if args.stage in ("all", "classifier"):
         stage_classifier(cfg, P)
     if args.stage in ("all", "diffwave"):
-        stage_diffwave(cfg, P)
+        stage_diffwave(cfg, P, resume=args.resume, iters_per_ckpt=args.iters_per_ckpt)
     if args.stage in ("all", "eval"):
         stage_eval(cfg, P)
 

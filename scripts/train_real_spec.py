@@ -98,14 +98,15 @@ def stage_data(n_train_per_class: int = 200):
     print("test wavs ->", TEST_DIR)
 
 
-def stage_unet(steps: int = 8000, batch: int = 128):
+def stage_unet(steps: int = 8000, batch: int = 128, resume: bool = False):
     import shutil
 
     from diffusion_model_for_audio_defense_tpu.cli import spectrogram_train
 
     # fresh run: TrainLoop auto-resumes from save_dir, and checkpoints from
-    # an older task version / standardize bounds must not leak in
-    if os.path.isdir(CKPT_DIR):
+    # an older task version / standardize bounds must not leak in. --resume
+    # keeps them (axon-wedge recovery for a same-config run).
+    if os.path.isdir(CKPT_DIR) and not resume:
         shutil.rmtree(CKPT_DIR)
     spectrogram_train.main([
         "--data_dir", TRAIN_DIR, "--batch_size", str(batch), "--max_steps", str(steps),
@@ -306,6 +307,9 @@ def main(argv=None):
                     help="force the CPU backend (axon pins JAX_PLATFORMS; "
                          "jax.config still works — CLAUDE.md)")
     ap.add_argument("--smoke", action="store_true", help="alias for --preset smoke")
+    ap.add_argument("--resume", action="store_true",
+                    help="keep existing UNet checkpoints and resume training "
+                         "(wedge recovery); default wipes them for a fresh run")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -327,7 +331,7 @@ def main(argv=None):
     if args.stage in ("all", "data"):
         stage_data(n_train_per_class=CFG["n_train_per_class"])
     if args.stage in ("all", "unet"):
-        stage_unet(steps=CFG["unet_steps"], batch=CFG["unet_batch"])
+        stage_unet(steps=CFG["unet_steps"], batch=CFG["unet_batch"], resume=args.resume)
     if args.stage in ("all", "classifier"):
         stage_classifier(epochs=CFG["clf_epochs"])
     if args.stage in ("all", "eval"):
