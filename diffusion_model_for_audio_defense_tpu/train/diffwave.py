@@ -262,7 +262,10 @@ class DiffWaveTrainer:
         )
 
     def train(self, data_iter, max_iters: Optional[int] = None):
-        end = min(self.n_iters, self.n_iter + max_iters) if max_iters else self.n_iters
+        # max_iters counts ADDITIONAL iterations for this call; 0 is a valid
+        # "already at target, train nothing" request (resume-at-end), so the
+        # None check must not treat it as falsy.
+        end = self.n_iters if max_iters is None else min(self.n_iters, self.n_iter + max_iters)
         loss = jnp.float32(float("nan"))  # resumed-at-end / max_iters=0: no steps run
         while self.n_iter < end:
             batch = next(data_iter)

@@ -48,6 +48,12 @@ def test_diffwave_trainer_descends(tmp_path, rng_np):
     assert any(d.startswith("ckpt_") for d in os.listdir(tmp_path))
     t2 = DiffWaveTrainer(model, linear_schedule(20), output_directory=str(tmp_path), segment_length=128)
     assert t2.n_iter > 0
+    # max_iters counts ADDITIONAL iters; 0 must mean "train nothing", not
+    # "unlimited" (falsy-zero regression: a resumed-at-target run span
+    # toward n_iters=1M)
+    n_before = t2.n_iter
+    t2.train(iter(data), max_iters=0)
+    assert t2.n_iter == n_before
 
 
 def test_improved_diffusion_trainloop(tmp_path, rng_np):
