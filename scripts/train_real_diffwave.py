@@ -260,7 +260,7 @@ def _load_eval_pieces(cfg, P: Paths):
     return sched, wavenet, wn_vars, clf, clf_vars
 
 
-def stage_eval(cfg, P: Paths):
+def stage_eval(cfg, P: Paths, parts=("sanity", "attack", "certify")):
     import jax
     import jax.numpy as jnp
 
@@ -270,45 +270,60 @@ def stage_eval(cfg, P: Paths):
     from diffusion_model_for_audio_defense_tpu.purify.ddpm import one_shot_denoise
 
     attack_iters, certify_n = cfg["attack_iters"], cfg["certify_n"]
-    summary = {"config": {
+    # parts-limited runs merge into an existing summary so sanity/attack now
+    # + certify later compose into one artifact (deadline-sliced TPU queue)
+    summary_path = os.path.join(P.OUT, "summary.json")
+    summary = {}
+    if os.path.exists(summary_path) and set(parts) != {"sanity", "attack", "certify"}:
+        with open(summary_path) as f:
+            summary = json.load(f)
+    summary["config"] = {
         "wavenet": f"{cfg['res_channels']}ch/{cfg['num_res_layers']}L "
                    f"cycle{cfg['dilation_cycle']} {cfg['dtype']}",
         "classifier": "m5", "schedule": "linear T=200 beta 1e-4..0.02",
         "backend": jax.default_backend(), "pallas": _pallas_ok(cfg),
         "diffwave_iters": cfg["diffwave_iters"],
         "task": TASK_DESC,
-    }}
+    }
 
     sched, wavenet, wn_vars, clf, clf_vars = _load_eval_pieces(cfg, P)
     eps_fn = make_eps_fn(cfg, wavenet, wn_vars)
     clf_fn = jit_hoisted(lambda x: clf.apply(clf_vars, x))
 
+    def _dump():
+        # write after every completed section so a budget-killed run still
+        # leaves the finished sections on disk
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=2)
+
     # ---- (a) denoise sanity: does one-shot purification recover noisy x? --
-    rng = np.random.default_rng(2024)
-    x, y = labeled_batch(rng, 100)
-    x = jnp.asarray(x)
+    if "sanity" in parts:
+        rng = np.random.default_rng(2024)
+        x, y = labeled_batch(rng, 100)
+        x = jnp.asarray(x)
 
-    def acc(xb):
-        return float(np.mean(np.argmax(np.asarray(clf_fn(xb)), -1) == y))
+        def acc(xb):
+            return float(np.mean(np.argmax(np.asarray(clf_fn(xb)), -1) == y))
 
-    denoise = {}
-    key = jax.random.PRNGKey(0)
-    sigmas = (0.25,) if cfg["out"] == PRESETS["smoke"]["out"] else (0.1, 0.25, 0.5, 1.0)
-    for sigma in sigmas:
-        t_star = compute_t_star(sched, sigma)
-        sas = (1.0 / (1.0 + sigma**2)) ** 0.5
-        key, k = jax.random.split(key)
-        noisy = x + sigma * jax.random.normal(k, x.shape)
-        # the certify chain's exact normalization: scale into q(x_t|x0) then
-        # one-shot denoise at t* (certify/smoothing.py)
-        den_fn = jit_hoisted(lambda xn: one_shot_denoise(eps_fn, sched, sas * xn, t_star))
-        denoised = den_fn(noisy)
-        denoise[f"sigma={sigma}"] = {
-            "t_star": int(t_star), "clean_acc": acc(x), "noisy_acc": acc(noisy),
-            "denoised_acc": acc(jnp.asarray(np.asarray(denoised), jnp.float32)),
-        }
-        print(f"sigma={sigma}: {denoise[f'sigma={sigma}']}")
-    summary["denoise_sanity"] = denoise
+        denoise = {}
+        key = jax.random.PRNGKey(0)
+        sigmas = (0.25,) if cfg["out"] == PRESETS["smoke"]["out"] else (0.1, 0.25, 0.5, 1.0)
+        for sigma in sigmas:
+            t_star = compute_t_star(sched, sigma)
+            sas = (1.0 / (1.0 + sigma**2)) ** 0.5
+            key, k = jax.random.split(key)
+            noisy = x + sigma * jax.random.normal(k, x.shape)
+            # the certify chain's exact normalization: scale into q(x_t|x0) then
+            # one-shot denoise at t* (certify/smoothing.py)
+            den_fn = jit_hoisted(lambda xn: one_shot_denoise(eps_fn, sched, sas * xn, t_star))
+            denoised = den_fn(noisy)
+            denoise[f"sigma={sigma}"] = {
+                "t_star": int(t_star), "clean_acc": acc(x), "noisy_acc": acc(noisy),
+                "denoised_acc": acc(jnp.asarray(np.asarray(denoised), jnp.float32)),
+            }
+            print(f"sigma={sigma}: {denoise[f'sigma={sigma}']}")
+        summary["denoise_sanity"] = denoise
+        _dump()
 
     # ---- (b) adaptive CW attack: undefended vs Diffusion-defended ---------
     from diffusion_model_for_audio_defense_tpu.cli import adaptive_attack_eval
@@ -336,12 +351,15 @@ def stage_eval(cfg, P: Paths):
             rec["note"] = "budget too small for this task: attack breaks (almost) nothing undefended"
         return rec
 
-    # reference default budget (adaptive_attack_eval.py:73-74) ...
-    summary["attack_cw_linf_eps65"] = run_cw(65, attack_iters)
-    # ... and a budget that demonstrably breaks the undefended model
-    if cfg.get("strong_eps"):
-        summary[f"attack_cw_linf_eps{cfg['strong_eps']}_strong"] = run_cw(
-            cfg["strong_eps"], cfg["strong_iters"])
+    if "attack" in parts:
+        # reference default budget (adaptive_attack_eval.py:73-74) ...
+        summary["attack_cw_linf_eps65"] = run_cw(65, attack_iters)
+        _dump()
+        # ... and a budget that demonstrably breaks the undefended model
+        if cfg.get("strong_eps"):
+            summary[f"attack_cw_linf_eps{cfg['strong_eps']}_strong"] = run_cw(
+                cfg["strong_eps"], cfg["strong_iters"])
+            _dump()
 
     # ---- (c) certification: diffusion denoised-smoothing vs randsmooth ----
     from diffusion_model_for_audio_defense_tpu.cli import certified_robustness_eval
@@ -363,17 +381,17 @@ def stage_eval(cfg, P: Paths):
                 "mean_certified_radius": float(np.mean(radii)) if radii else 0.0,
                 "jsonl": os.path.relpath(path, REPO)}
 
-    print("\n=== certify: diffusion denoised smoothing (sigma=0.25) ===")
-    summary["certify_sigma0.25"] = {
-        "diffusion": certify("diffusion", "diffusion_sigma0.25",
-                             ("--ddpm_path", P.DW_FINAL, "--ddpm_config", P.CONFIG)),
-        "randsmooth_no_denoiser": certify("randsmooth", "randsmooth_sigma0.25"),
-        "N": certify_n,
-    }
+    if "certify" in parts:
+        print("\n=== certify: diffusion denoised smoothing (sigma=0.25) ===")
+        summary["certify_sigma0.25"] = {
+            "diffusion": certify("diffusion", "diffusion_sigma0.25",
+                                 ("--ddpm_path", P.DW_FINAL, "--ddpm_config", P.CONFIG)),
+            "randsmooth_no_denoiser": certify("randsmooth", "randsmooth_sigma0.25"),
+            "N": certify_n,
+        }
 
-    with open(os.path.join(P.OUT, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=2)
-    print("\nsummary ->", os.path.join(P.OUT, "summary.json"))
+    _dump()
+    print("\nsummary ->", summary_path)
     print(json.dumps(summary, indent=2))
 
 
@@ -392,6 +410,9 @@ def main(argv=None):
                     help="keep existing diffwave checkpoints and resume training "
                          "(wedge recovery); default wipes them for a fresh run")
     ap.add_argument("--iters_per_ckpt", type=int, default=5000)
+    ap.add_argument("--eval_parts", default="sanity,attack,certify",
+                    help="comma-set of eval sections to run; parts-limited runs "
+                         "merge into an existing summary.json (deadline slicing)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -417,7 +438,7 @@ def main(argv=None):
     if args.stage in ("all", "diffwave"):
         stage_diffwave(cfg, P, resume=args.resume, iters_per_ckpt=args.iters_per_ckpt)
     if args.stage in ("all", "eval"):
-        stage_eval(cfg, P)
+        stage_eval(cfg, P, parts=tuple(s for s in args.eval_parts.split(",") if s))
 
 
 if __name__ == "__main__":
