@@ -230,6 +230,12 @@ def stage_eval(attack_iters: int = 30):
     def acc(sb):
         return float(np.mean(np.argmax(np.asarray(clf_fn(sb)), -1) == y))
 
+    # deadline-kill insurance: persist the summary after every completed
+    # sub-result (t* row / attack block) so a timeout loses one row, not all
+    def _dump():
+        with open(os.path.join(OUT, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+
     denoise = {}
     key = jax.random.PRNGKey(0)
     for t_star in CFG["t_stars"]:
@@ -248,6 +254,8 @@ def stage_eval(attack_iters: int = 30):
             "clean_acc": acc(spec), "noisy_acc": acc(noisy), "denoised_acc": acc(den),
         }
         print(f"t*={t_star}: {denoise[f't_star={t_star}']}")
+        summary["denoise_sanity"] = denoise
+        _dump()
     summary["denoise_sanity"] = denoise
 
     # operating point for the attack rows: the t* with the best noise
@@ -282,10 +290,14 @@ def stage_eval(attack_iters: int = 30):
             rec["note"] = "budget too small for this task: attack breaks (almost) nothing undefended"
         return rec
 
-    summary["attack_cw_linf_eps65"] = run_cw(65, attack_iters)
+    _dump()
+    # strong row first: it is the headline (defended-vs-undefended delta);
+    # a deadline kill should cost the eps65 row, not this one
     if CFG.get("strong_eps"):
         summary[f"attack_cw_linf_eps{CFG['strong_eps']}_strong"] = run_cw(
             CFG["strong_eps"], CFG["strong_iters"])
+        _dump()
+    summary["attack_cw_linf_eps65"] = run_cw(65, attack_iters)
 
     with open(os.path.join(OUT, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
