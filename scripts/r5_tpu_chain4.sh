@@ -40,13 +40,13 @@ commit "r5 spec: v2 data stage"
 # ---- 2. UNet in committed chunks ------------------------------------------
 CKPT=artifacts/real_spec/ckpts
 TARGET=30000
-CHUNK=3000
-UNET_END=$(( $(date +%s) + 3300 ))
+CHUNK=2000
+UNET_END=$(( DEADLINE - 2520 ))   # reserve ~42 min for clf+eval
 FAILS=0
 while :; do
   now=$(date +%s)
   [ "$now" -ge "$UNET_END" ] && { echo "unet window exhausted"; break; }
-  [ "$(left)" -lt 2700 ] && { echo "reserving tail for clf+eval"; break; }
+  [ "$(left)" -lt 2400 ] && { echo "reserving tail for clf+eval"; break; }
   cur=$(ls "$CKPT" 2>/dev/null | grep -oE '^model[0-9]+' | grep -oE '[0-9]+' | sort -n | tail -1)
   cur=${cur:-0}
   [ "$cur" -ge "$TARGET" ] && { echo "unet reached $cur"; break; }
@@ -64,7 +64,7 @@ while :; do
 done
 
 # ---- 3. classifier on the v2 task ------------------------------------------
-run spec_clf 1500 python scripts/train_real_spec.py --preset prod --stage classifier
+run spec_clf 1200 python scripts/train_real_spec.py --preset prod --stage classifier --clf_epochs 12
 commit "r5 spec: ResNeXt29 8x64 classifier (v2 task)"
 
 # ---- 4. eval: denoise-sanity t* sweep + strong CW + eps65 (incremental dump)

@@ -110,7 +110,7 @@ def stage_unet(steps: int = 8000, batch: int = 128, resume: bool = False):
         shutil.rmtree(CKPT_DIR)
     spectrogram_train.main([
         "--data_dir", TRAIN_DIR, "--batch_size", str(batch), "--max_steps", str(steps),
-        "--save_interval", str(min(2000, steps)), "--save_dir", CKPT_DIR, *UNET_ARGS,
+        "--save_interval", str(min(1000, steps)), "--save_dir", CKPT_DIR, *UNET_ARGS,
         "--mel_bounds", CFG.get("mel_bounds", "ref"),
         *sum((["--" + k, str(v)] for k, v in CFG["unet"].items()), []),
     ])
