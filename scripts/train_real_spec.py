@@ -164,6 +164,7 @@ def stage_classifier(epochs: int = 20, batches_per_epoch: int = 20, batch: int =
     tr = ClassifierTrainer(model, transform=Wave2Spect(n_mels=32), mode="vanilla", lr=0.02,
                            sample_input=jnp.zeros((1, 1, 16000)), save_dir=CLF_DIR)
     val = StreamLoader(seed=999)
+    best_exported = -1.0
     for epoch in range(epochs):
         tr.train_epoch(StreamLoader(seed=7), epoch)
         vloss, vacc = tr.evaluate(val)
@@ -171,6 +172,13 @@ def stage_classifier(epochs: int = 20, batches_per_epoch: int = 20, batch: int =
         tlog.logkv("valid_acc", vacc)
         tlog.dumpkvs()
         tr.maybe_checkpoint(vloss, vacc, "resnext_synth")
+        # timeout insurance: keep the TRACKED eval export current after every
+        # improving epoch, so a deadline kill still leaves a usable classifier
+        if tr.best_acc > best_exported:
+            best = load_pytree(os.path.join(CLF_DIR, "resnext_synth-best-acc"))
+            save_pytree(CLF_EVAL, {"params": best["params"],
+                                   "batch_stats": best["batch_stats"]})
+            best_exported = tr.best_acc
     print(f"classifier: best valid acc {tr.best_acc:.4f}")
     if CFG["assert_acc"]:
         # v2 task has a ~5% Bayes floor (f0 band overlap) + distractors
