@@ -45,7 +45,11 @@ PRESETS = {
     # point; (d) a strong-attack row that actually breaks the undefended model.
     "prod": dict(out="real_spec", unet={}, unet_steps=30000, unet_batch=128,
                  n_train_per_class=200, clf_epochs=20, clf_bpe=20, clf_batch=64,
-                 attack_iters=30, eval_n=100, t_stars=(2, 3, 5, 10, 25), num_per_class=5,
+                 # t* sweep trimmed (2,3,5,10,25)->(3,5,10) late in round 5: the
+                 # deadline left ~22 min for the whole eval stage and each t*
+                 # costs a cold p_sample_loop compile; small t* is where a
+                 # purifier shows margin first
+                 attack_iters=30, eval_n=100, t_stars=(3, 5, 10), num_per_class=5,
                  assert_acc=True, mel_bounds="auto", strong_eps=2000, strong_iters=100),
     # single-host-core-feasible reduction (nproc=1 here): a real-weights
     # hedge artifact for when the TPU tunnel is down
