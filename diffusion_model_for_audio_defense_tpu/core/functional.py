@@ -25,6 +25,13 @@ import jax
 # harmless, and literal scalars/iotas sometimes must stay constants
 _HOIST_MIN_SIZE = 1024
 
+# pallas graphs prefer baked consts (see _has_pallas), but ONLY while the
+# baked program still fits through the axon remote-compile tunnel: past this
+# many const bytes we hoist anyway — a slower compile beats an HTTP 413
+# (round-5 failure: the Diffusion-Spec attack graph with the Pallas
+# attention kernel auto-fell back to baked and exceeded the upload limit)
+_PALLAS_BAKE_MAX_BYTES = 64 * 1024 * 1024
+
 
 def _signature(args):
     leaves, treedef = jax.tree.flatten(args)
@@ -81,10 +88,16 @@ def _convert(fn, *example_args):
         return flat_out
 
     closed = jax.make_jaxpr(flat_fn)(*flat_ex)
-    if _has_pallas(closed.jaxpr):
+    const_bytes = sum(
+        getattr(c, "nbytes", 0) for c in closed.consts
+        if hasattr(c, "shape") and getattr(c, "size", 0) > _HOIST_MIN_SIZE
+    )
+    if _has_pallas(closed.jaxpr) and const_bytes <= _PALLAS_BAKE_MAX_BYTES:
         # baked-consts path, but REUSE the jaxpr we already traced (a plain
         # jax.jit(fn) would trace the whole graph a second time — the
-        # production certify chain costs ~seconds per trace)
+        # production certify chain costs ~seconds per trace). Graphs whose
+        # consts exceed _PALLAS_BAKE_MAX_BYTES fall through to hoisting even
+        # with pallas_calls present: the baked HLO would 413 the tunnel.
         def run_baked(*flat_args):
             return jcore.eval_jaxpr(closed.jaxpr, closed.consts, *flat_args)
 

@@ -119,6 +119,12 @@ def main(argv=None):
     def acc(xb):
         return float(np.mean(np.argmax(np.asarray(clf_fn(xb)), -1) == y))
 
+    # deadline-kill insurance (same as train_real_spec.stage_eval): persist
+    # after every completed section so a timeout loses one block, not all
+    def _dump():
+        with open(os.path.join(OUT, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+
     denoise = {}
     key = jax.random.PRNGKey(0)
     for sigma in (0.25, 0.5, 1.0):
@@ -133,7 +139,8 @@ def main(argv=None):
             "denoised_acc": acc(jnp.asarray(np.asarray(denoised), jnp.float32)),
         }
         print(f"sigma={sigma}: {denoise[f'sigma={sigma}']}")
-    summary["denoise_sanity"] = denoise
+        summary["denoise_sanity"] = denoise
+        _dump()
 
     # ---- (b) adaptive CW: undefended vs Diffusion-defended ----------------
     from diffusion_model_for_audio_defense_tpu.cli import adaptive_attack_eval
@@ -157,10 +164,14 @@ def main(argv=None):
             rec["note"] = "budget too small for this task: attack breaks (almost) nothing undefended"
         return rec
 
-    summary["attack_cw_linf_eps65"] = run_cw(65, args.attack_iters)
+    # strong row first: it is the headline (defended-vs-undefended delta);
+    # a deadline kill should cost the eps65 row, not this one
     if args.strong_eps:
         summary[f"attack_cw_linf_eps{args.strong_eps}_strong"] = run_cw(
             args.strong_eps, args.strong_iters)
+        _dump()
+    summary["attack_cw_linf_eps65"] = run_cw(65, args.attack_iters)
+    _dump()
 
     # ---- (c) certification sigma=0.25: diffusion vs randsmooth ------------
     if not args.skip_certify:
@@ -183,12 +194,13 @@ def main(argv=None):
                     "jsonl": os.path.relpath(path, REPO)}
 
         print("\n=== certify: diffusion denoised smoothing (sigma=0.25) ===")
-        summary["certify_sigma0.25"] = {
-            "diffusion": certify("diffusion", "diffusion_sigma0.25",
-                                 ("--ddpm_path", DW_FINAL, "--ddpm_config", DW_CONFIG)),
-            "randsmooth_no_denoiser": certify("randsmooth", "randsmooth_sigma0.25"),
-            "N": args.certify_n,
-        }
+        cert = {"N": args.certify_n}
+        summary["certify_sigma0.25"] = cert
+        cert["diffusion"] = certify("diffusion", "diffusion_sigma0.25",
+                                    ("--ddpm_path", DW_FINAL, "--ddpm_config", DW_CONFIG))
+        _dump()
+        cert["randsmooth_no_denoiser"] = certify("randsmooth", "randsmooth_sigma0.25")
+        _dump()
 
     with open(os.path.join(OUT, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)

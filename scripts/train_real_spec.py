@@ -192,7 +192,7 @@ def stage_classifier(epochs: int = 20, batches_per_epoch: int = 20, batch: int =
     print("eval classifier ->", CLF_EVAL)
 
 
-def stage_eval(attack_iters: int = 30):
+def stage_eval(attack_iters: int = 30, attack_only: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -215,10 +215,19 @@ def stage_eval(attack_iters: int = 30):
     mel_bounds = load_mel_bounds(UNET_FINAL)
     unet_desc = ("128ch/3RB dropout0.3 (exact reference recipe)" if not CFG["unet"]
                  else "{num_channels}ch/{num_res_blocks}RB reduced".format(**CFG["unet"]))
+    # the EXPORTED checkpoint step, not the preset target: round-5 VM resets
+    # cut training at step 1000 of the 30k plan — record what actually ran
+    import re
+
+    ema_steps = [int(m.group(1)) for nm in
+                 (os.listdir(CKPT_DIR) if os.path.isdir(CKPT_DIR) else ())
+                 if (m := re.match(r"ema_[0-9.]+_(\d+)$", nm))]
     summary = {"config": {"unet": unet_desc,
                           "classifier": "resnext29_8_64 on mel32",
                           "schedule": "linear T=200",
-                          "unet_steps": CFG["unet_steps"],
+                          "unet_steps_target": CFG["unet_steps"],
+                          "unet_steps_trained": max(ema_steps) if ema_steps
+                          else CFG["unet_steps"],
                           "mel_bounds": list(mel_bounds),
                           "task": TASK_DESC}}
     unet_vars = load_pytree(UNET_FINAL)
@@ -248,9 +257,23 @@ def stage_eval(attack_iters: int = 30):
         with open(os.path.join(OUT, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
 
+    # --attack_only: the denoise-sanity sweep already ran (and was committed
+    # incrementally) in a previous process; each t* row costs a cold
+    # p_sample_loop compile on the tunnel, so reuse the committed rows and
+    # jump straight to the attack blocks (round-5 recovery after the eval
+    # process died at the defended-attack compile).
+    prior = {}
+    if attack_only:
+        spath = os.path.join(OUT, "summary.json")
+        if os.path.isfile(spath):
+            with open(spath) as f:
+                prior = json.load(f)
+    if attack_only and "denoise_sanity" in prior:
+        summary.update({k: v for k, v in prior.items() if k != "config"})
+
     denoise = {}
     key = jax.random.PRNGKey(0)
-    for t_star in CFG["t_stars"]:
+    for t_star in () if attack_only and "denoise_sanity" in prior else CFG["t_stars"]:
         key, k1, k2 = jax.random.split(key, 3)
 
         def noisy_and_denoised(spec, k1, k2, t_star=t_star):
@@ -268,7 +291,10 @@ def stage_eval(attack_iters: int = 30):
         print(f"t*={t_star}: {denoise[f't_star={t_star}']}")
         summary["denoise_sanity"] = denoise
         _dump()
-    summary["denoise_sanity"] = denoise
+    if denoise:
+        summary["denoise_sanity"] = denoise
+    else:
+        denoise = summary["denoise_sanity"]
 
     # operating point for the attack rows: the t* with the best noise
     # recovery (denoised - noisy), preferring larger recovery margins
@@ -292,9 +318,13 @@ def stage_eval(attack_iters: int = 30):
         print(f"\n=== attack eps={eps} iters={iters}: undefended ===")
         res_none = adaptive_attack_eval.main(common + ["--defense", "None"])
         print(f"\n=== attack eps={eps} iters={iters}: Diffusion-Spec (t*={attack_t}) ===")
+        # --no_pallas_attention: the attack differentiates the purifier, and
+        # the attention VJP recomputes via einsum anyway; keeping the graph
+        # pallas-free lets jit_hoisted hoist the UNet params (the pallas
+        # fallback baked ~570 MB of HLO and 413'd the compile tunnel)
         res_spec = adaptive_attack_eval.main(
             common + ["--defense", "Diffusion-Spec", "--t", str(attack_t),
-                      "--ddpm_path", UNET_FINAL])
+                      "--ddpm_path", UNET_FINAL, "--no_pallas_attention"])
         rec = {"eps_int16": eps, "eps_float": eps / 32768.0, "max_iter_1": iters,
                "undefended": res_none,
                f"defended_diffusion_spec_t{attack_t}": res_spec}
@@ -334,6 +364,9 @@ def main(argv=None):
     ap.add_argument("--resume", action="store_true",
                     help="keep existing UNet checkpoints and resume training "
                          "(wedge recovery); default wipes them for a fresh run")
+    ap.add_argument("--attack_only", action="store_true",
+                    help="eval stage: reuse the committed denoise-sanity rows "
+                         "in summary.json and run only the attack blocks")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -359,7 +392,7 @@ def main(argv=None):
     if args.stage in ("all", "classifier"):
         stage_classifier(epochs=CFG["clf_epochs"])
     if args.stage in ("all", "eval"):
-        stage_eval(attack_iters=CFG["attack_iters"])
+        stage_eval(attack_iters=CFG["attack_iters"], attack_only=args.attack_only)
 
 
 if __name__ == "__main__":

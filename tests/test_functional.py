@@ -111,6 +111,42 @@ def test_has_pallas_sees_through_checkpoint_scan_and_shard_map(rng_np):
     assert not _has_pallas(jax.make_jaxpr(lambda x: jnp.tanh(x) @ jnp.ones((C, C)))(h).jaxpr)
 
 
+def test_pallas_graph_hoists_when_consts_exceed_bake_cap(rng_np, monkeypatch):
+    """Pallas graphs normally keep consts baked (faster compile), but past
+    _PALLAS_BAKE_MAX_BYTES the baked HLO exceeds the remote-compile upload
+    limit (round-5 HTTP 413 on the Diffusion-Spec attack graph) — the guard
+    must fall through to hoisting."""
+    from diffusion_model_for_audio_defense_tpu.core import functional as F
+    from diffusion_model_for_audio_defense_tpu.ops.pallas.wavenet_block import (
+        fused_residual_block,
+    )
+
+    C = 16  # wd has 6*C^2 = 1536 elements — above _HOIST_MIN_SIZE
+    h = jnp.asarray(rng_np.standard_normal((1, 1024, C)).astype(np.float32) * 0.1)
+    tb = jnp.zeros((1, C)); bd = jnp.zeros((2 * C,))
+    wrs = jnp.zeros((C, 2 * C)); brs = jnp.zeros((2 * C,))
+    wd = jnp.asarray(rng_np.standard_normal((3, C, 2 * C)).astype(np.float32) * 0.1)
+
+    def f(x):
+        h2, _ = fused_residual_block(x, tb, wd, bd, wrs, brs, dilation=1,
+                                     tile_l=1024, interpret=True)
+        return h2
+
+    # default cap: pallas graph stays baked (no hoisted args)
+    w1 = F.jit_hoisted(f)
+    y1 = w1(h)
+    (_, hoisted1, _, _), = w1._cache.values()
+    assert hoisted1 == ()
+
+    # cap below wd's nbytes: the same graph must hoist its large consts
+    monkeypatch.setattr(F, "_PALLAS_BAKE_MAX_BYTES", 0)
+    w2 = F.jit_hoisted(f)
+    y2 = w2(h)
+    (_, hoisted2, _, _), = w2._cache.values()
+    assert len(hoisted2) >= 1
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)
+
+
 def test_enable_compilation_cache(tmp_path, monkeypatch):
     from diffusion_model_for_audio_defense_tpu.core.functional import (
         enable_compilation_cache,
