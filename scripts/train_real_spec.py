@@ -339,7 +339,8 @@ def stage_eval(attack_iters: int = 30, attack_only: bool = False):
         summary[f"attack_cw_linf_eps{CFG['strong_eps']}_strong"] = run_cw(
             CFG["strong_eps"], CFG["strong_iters"])
         _dump()
-    summary["attack_cw_linf_eps65"] = run_cw(65, attack_iters)
+    if not (CFG.get("skip_eps65") and "attack_cw_linf_eps65" in summary):
+        summary["attack_cw_linf_eps65"] = run_cw(65, attack_iters)
 
     with open(os.path.join(OUT, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
@@ -367,6 +368,15 @@ def main(argv=None):
     ap.add_argument("--attack_only", action="store_true",
                     help="eval stage: reuse the committed denoise-sanity rows "
                          "in summary.json and run only the attack blocks")
+    ap.add_argument("--strong_eps", type=int, default=None,
+                    help="override the strong-row eps (int16 units); with "
+                         "--attack_only this ADDs an attack_cw_linf_eps<N>_strong "
+                         "row — eps65 broke nothing and eps2000 broke everything "
+                         "on the v2 task, the informative budget is between")
+    ap.add_argument("--strong_iters", type=int, default=None)
+    ap.add_argument("--skip_eps65", action="store_true",
+                    help="eval stage: keep an existing eps65 row instead of "
+                         "rerunning it (attack_only eps sweeps)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -376,9 +386,11 @@ def main(argv=None):
     if args.smoke:
         args.preset = "smoke"
     CFG = dict(PRESETS[args.preset])
-    for k in ("unet_steps", "unet_batch", "clf_epochs", "attack_iters"):
+    for k in ("unet_steps", "unet_batch", "clf_epochs", "attack_iters",
+              "strong_eps", "strong_iters"):
         if getattr(args, k) is not None:
             CFG[k] = getattr(args, k)
+    CFG["skip_eps65"] = args.skip_eps65
     _set_out(CFG["out"])
 
     from diffusion_model_for_audio_defense_tpu.core.functional import enable_compilation_cache
