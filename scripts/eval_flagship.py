@@ -52,6 +52,10 @@ def main(argv=None):
     ap.add_argument("--num_per_class", type=int, default=5)
     ap.add_argument("--skip_certify", action="store_true")
     ap.add_argument("--skip_lab23", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse sections already present in summary.json "
+                         "(skip their recompute; a VM reset mid-run costs "
+                         "one section, not the whole artifact)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -84,6 +88,13 @@ def main(argv=None):
 
     with open(DW_CONFIG) as f:
         cfg = json.load(f)
+    prior = {}
+    spath = os.path.join(OUT, "summary.json")
+    if args.resume and os.path.isfile(spath):
+        with open(spath) as f:
+            prior = json.load(f)
+        print(f"[resume] reusing completed sections from {spath}: "
+              f"{sorted(k for k in prior if k != 'config')}")
     summary = {"config": {
         "system": "DiffWave -> MelSpectrogram(32) -> ResNeXt29 8x64 (reference flagship stack, "
                   "adaptive_attack_eval.py:76-99,170-172)",
@@ -127,7 +138,13 @@ def main(argv=None):
 
     denoise = {}
     key = jax.random.PRNGKey(0)
-    for sigma in (0.25, 0.5, 1.0):
+    sigmas = (0.25, 0.5, 1.0)
+    if all(f"sigma={s}" in prior.get("denoise_sanity", {}) for s in sigmas):
+        denoise = prior["denoise_sanity"]
+        summary["denoise_sanity"] = denoise
+        sigmas = ()
+        print("[resume] denoise_sanity complete — skipping")
+    for sigma in sigmas:
         t_star = compute_t_star(sched, sigma)
         sas = (1.0 / (1.0 + sigma**2)) ** 0.5
         key, k = jax.random.split(key)
@@ -167,14 +184,26 @@ def main(argv=None):
     # strong row first: it is the headline (defended-vs-undefended delta);
     # a deadline kill should cost the eps65 row, not this one
     if args.strong_eps:
-        summary[f"attack_cw_linf_eps{args.strong_eps}_strong"] = run_cw(
-            args.strong_eps, args.strong_iters)
+        skey = f"attack_cw_linf_eps{args.strong_eps}_strong"
+        if skey in prior:
+            summary[skey] = prior[skey]
+            print(f"[resume] {skey} complete — skipping")
+        else:
+            summary[skey] = run_cw(args.strong_eps, args.strong_iters)
         _dump()
-    summary["attack_cw_linf_eps65"] = run_cw(65, args.attack_iters)
+    if "attack_cw_linf_eps65" in prior:
+        summary["attack_cw_linf_eps65"] = prior["attack_cw_linf_eps65"]
+        print("[resume] attack_cw_linf_eps65 complete — skipping")
+    else:
+        summary["attack_cw_linf_eps65"] = run_cw(65, args.attack_iters)
     _dump()
 
     # ---- (c) certification sigma=0.25: diffusion vs randsmooth ------------
-    if not args.skip_certify:
+    if "certify_sigma0.25" in prior and "randsmooth_no_denoiser" in prior["certify_sigma0.25"]:
+        summary["certify_sigma0.25"] = prior["certify_sigma0.25"]
+        print("[resume] certify_sigma0.25 complete — skipping")
+        _dump()
+    elif not args.skip_certify:
         from diffusion_model_for_audio_defense_tpu.cli import certified_robustness_eval
 
         def certify(method, tag, extra=()):
