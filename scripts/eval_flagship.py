@@ -105,37 +105,13 @@ def main(argv=None):
         "task": TASK_DESC,
     }}
 
-    # ---- pieces -----------------------------------------------------------
-    sched = linear_schedule(200)
-    wavenet = wavenet_from_config(cfg["wavenet_config"], dtype=jnp.bfloat16)
-    wn_vars = load_pytree(DW_FINAL)
-    on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        eps_fn = lambda x, t: wavenet_apply_stack(
-            wn_vars, x, t[:, None], num_res_layers=wavenet.num_res_layers,
-            dilation_cycle=wavenet.dilation_cycle, dtype=jnp.bfloat16)
-    else:
-        eps_fn = lambda x, t: wavenet.apply(wn_vars, x, t[:, None])
-    clf = create_model("resnext29_8_64", num_classes=10, in_channels=1)
-    clf_state = load_pytree(CLF_EVAL)
-    clf_vars = {"params": clf_state["params"], "batch_stats": clf_state["batch_stats"]}
-    w2s = Wave2Spect(n_mels=32)
-    clf_fn = jit_hoisted(lambda x: clf.apply(clf_vars, w2s(x)))
-
-    # ---- (a) denoise sanity (the certify chain's exact normalization) -----
-    rng = np.random.default_rng(2024)
-    x, y = labeled_batch(rng, 100)
-    x = jnp.asarray(x)
-
-    def acc(xb):
-        return float(np.mean(np.argmax(np.asarray(clf_fn(xb)), -1) == y))
-
     # deadline-kill insurance (same as train_real_spec.stage_eval): persist
     # after every completed section so a timeout loses one block, not all
     def _dump():
         with open(os.path.join(OUT, "summary.json"), "w") as f:
             json.dump(summary, f, indent=2)
 
+    # ---- (a) denoise sanity (the certify chain's exact normalization) -----
     denoise = {}
     key = jax.random.PRNGKey(0)
     sigmas = (0.25, 0.5, 1.0)
@@ -144,6 +120,33 @@ def main(argv=None):
         summary["denoise_sanity"] = denoise
         sigmas = ()
         print("[resume] denoise_sanity complete — skipping")
+    if sigmas:
+        # only this section drives the models in-process (the attack/certify
+        # sections go through the CLIs, which load their own) — build lazily
+        # so a fully-resumed invocation never touches the checkpoints
+        sched = linear_schedule(200)
+        wavenet = wavenet_from_config(cfg["wavenet_config"], dtype=jnp.bfloat16)
+        wn_vars = load_pytree(DW_FINAL)
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
+            eps_fn = lambda x, t: wavenet_apply_stack(
+                wn_vars, x, t[:, None], num_res_layers=wavenet.num_res_layers,
+                dilation_cycle=wavenet.dilation_cycle, dtype=jnp.bfloat16)
+        else:
+            eps_fn = lambda x, t: wavenet.apply(wn_vars, x, t[:, None])
+        clf = create_model("resnext29_8_64", num_classes=10, in_channels=1)
+        clf_state = load_pytree(CLF_EVAL)
+        clf_vars = {"params": clf_state["params"], "batch_stats": clf_state["batch_stats"]}
+        w2s = Wave2Spect(n_mels=32)
+        clf_fn = jit_hoisted(lambda x: clf.apply(clf_vars, w2s(x)))
+
+        rng = np.random.default_rng(2024)
+        x, y = labeled_batch(rng, 100)
+        x = jnp.asarray(x)
+
+        def acc(xb):
+            return float(np.mean(np.argmax(np.asarray(clf_fn(xb)), -1) == y))
+
     for sigma in sigmas:
         t_star = compute_t_star(sched, sigma)
         sas = (1.0 / (1.0 + sigma**2)) ** 0.5
