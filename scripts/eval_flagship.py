@@ -165,21 +165,37 @@ def main(argv=None):
     # ---- (b) adaptive CW: undefended vs Diffusion-defended ----------------
     from diffusion_model_for_audio_defense_tpu.cli import adaptive_attack_eval
 
-    def run_cw(eps: int, iters: int):
+    def run_cw(skey: str, eps: int, iters: int):
+        """One attack row, resumable at undefended/defended granularity.
+
+        Each half is a full adaptive-CW compile + run; a deadline kill
+        between the two must not discard the finished undefended half, so
+        the row is dumped with ``"partial": true`` after it.
+        """
+        prec = prior.get(skey, {})
+        if "defended_diffusion_t3" in prec:
+            print(f"[resume] {skey} complete — skipping")
+            return prec
         common = ["--data_path", TEST_DIR, "--classifier_model", "resnext29_8_64",
                   "--classifier_path", CLF_EVAL, "--attack", "CW",
                   "--bound_norm", "linf", "--eps", str(eps),
                   "--max_iter_1", str(iters), "--batch_size", "25",
                   "--num_per_class", str(args.num_per_class), "--seed", "0"]
-        print(f"\n=== attack eps={eps} iters={iters}: undefended ===")
-        res_none = adaptive_attack_eval.main(common + ["--defense", "None"])
+        rec = {"eps_int16": eps, "eps_float": eps / 32768.0, "max_iter_1": iters}
+        if "undefended" in prec:
+            print(f"[resume] {skey}: undefended half done — skipping")
+            rec["undefended"] = res_none = prec["undefended"]
+        else:
+            print(f"\n=== attack eps={eps} iters={iters}: undefended ===")
+            rec["undefended"] = res_none = adaptive_attack_eval.main(
+                common + ["--defense", "None"])
+            summary[skey] = {**rec, "partial": True}
+            _dump()
         print(f"\n=== attack eps={eps} iters={iters}: Diffusion (DDPM one-shot, t*=3) ===")
-        res_diff = adaptive_attack_eval.main(
+        rec["defended_diffusion_t3"] = adaptive_attack_eval.main(
             common + ["--defense", "Diffusion", "--diffusion_type", "ddpm",
                       "--t", "3", "--ddpm_path", DW_FINAL,
                       "--ddpm_config", DW_CONFIG, "--bf16"])
-        rec = {"eps_int16": eps, "eps_float": eps / 32768.0, "max_iter_1": iters,
-               "undefended": res_none, "defended_diffusion_t3": res_diff}
         if res_none["robust_acc"] >= 0.95:
             rec["note"] = "budget too small for this task: attack breaks (almost) nothing undefended"
         return rec
@@ -188,17 +204,10 @@ def main(argv=None):
     # a deadline kill should cost the eps65 row, not this one
     if args.strong_eps:
         skey = f"attack_cw_linf_eps{args.strong_eps}_strong"
-        if skey in prior:
-            summary[skey] = prior[skey]
-            print(f"[resume] {skey} complete — skipping")
-        else:
-            summary[skey] = run_cw(args.strong_eps, args.strong_iters)
+        summary[skey] = run_cw(skey, args.strong_eps, args.strong_iters)
         _dump()
-    if "attack_cw_linf_eps65" in prior:
-        summary["attack_cw_linf_eps65"] = prior["attack_cw_linf_eps65"]
-        print("[resume] attack_cw_linf_eps65 complete — skipping")
-    else:
-        summary["attack_cw_linf_eps65"] = run_cw(65, args.attack_iters)
+    summary["attack_cw_linf_eps65"] = run_cw(
+        "attack_cw_linf_eps65", 65, args.attack_iters)
     _dump()
 
     # ---- (c) certification sigma=0.25: diffusion vs randsmooth ------------
